@@ -1,0 +1,183 @@
+package graft.linkage.expr
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §2.8/§2.11). All hot-path
+  * expressions implement `doGenCode` so the pair-scoring projection stays
+  * inside whole-stage codegen; the heavy lifting is a static call into
+  * [[Sim]] shared with the interpreted path.
+  */
+
+/** `clean_string` analog — reference utils/data_reader.py:108–114. */
+case class NormalizeAscii(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_ascii"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      Sim.normalizeAscii(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.linkage.expr.Sim.normalizeAscii($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeAscii =
+    copy(child = newChild)
+}
+
+/** textdistance-parity Jaro-Winkler — reference matching.py:480–491 &
+  * 110–247 (see [[Sim.jaroWinkler]] for the pinned semantics). */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Sim.jaroWinkler(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.linkage.expr.Sim.jaroWinkler($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+/** textdistance-parity normalized Hamming similarity — matching.py:100–103. */
+case class HammingSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hamming_sim"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Sim.hammingSim(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.linkage.expr.Sim.hammingSim($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Metaphone signature for p-sig-style blocking —
+  * example-schema/blocking-schema/p-sig.json signatureSpecs[1]. */
+case class MetaphoneExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "metaphone_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Sim.metaphone(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.linkage.expr.Sim.metaphone($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): MetaphoneExpr =
+    copy(child = newChild)
+}
+
+object Clk {
+  /** CLK Bloom-filter encoding of one record's fields.
+    * Capability-parity port of the anonlink CLK described by
+    * example-schema/name-sex-dob-addr.json (l=4096 bits, k=30 per bigram,
+    * bigram tokenization with whitespace padding) — seeded MurmurHash3
+    * stands in for blake2+HKDF (documented deviation, SURVEY.md §7.5:
+    * the north rule scores clustering, not crypto).
+    */
+  val L = 4096 // bits
+  val K = 30   // hash functions per bigram
+  def encode(fields: Array[String], secretSeed: Int): Array[Byte] = {
+    val bits = new Array[Byte](L / 8)
+    var f = 0
+    while (f < fields.length) {
+      val s = fields(f)
+      if (s != null && s.nonEmpty) {
+        val padded = " " + s + " "
+        var i = 0
+        while (i < padded.length - 1) {
+          val gram = padded.substring(i, i + 2)
+          val g = scala.util.hashing.MurmurHash3.stringHash(gram, secretSeed ^ f)
+          var h = 0
+          while (h < K) {
+            // double hashing: idx_h = g1 + h*g2 (Kirsch–Mitzenmacher)
+            val g2 = scala.util.hashing.MurmurHash3.productHash((g, f), secretSeed + 31)
+            val idx = java.lang.Math.floorMod(g + h * (g2 | 1), L)
+            bits(idx >> 3) = (bits(idx >> 3) | (1 << (idx & 7))).toByte
+            h += 1
+          }
+          i += 1
+        }
+      }
+      f += 1
+    }
+    bits
+  }
+
+  /** λ-fold blocking keys from a CLK
+    * (example-schema/blocking-schema/lambda.json: Λ=3, bf-len 64, K=5,
+    * random_state 0): Λ independent Hamming-LSH keys, each formed by
+    * bit-sampling K × num-hash-funcs (= 15) seeded positions directly from
+    * the CLK. Two CLKs at Hamming distance d agree on a sampled bit w.p.
+    * 1 − d/L, so a garbled duplicate (d ≈ 100) shares a given key w.p.
+    * ≈ 0.69 and ≥1 of Λ=3 keys w.p. ≈ 0.97, while unrelated records split.
+    * (An OR- or XOR-fold to 64 bits first — anonlink's literal mechanics —
+    * saturates/scrambles at k=30 CLK density; bit-sampling keeps the
+    * locality the schema intends. Capability-parity deviation, §7.5.)
+    */
+  val LambdaNumHashFuncs = 3 // lambda.json "num-hash-funcs"
+  def lambdaFold(clk: Array[Byte], lambda: Int, bfLen: Int, k: Int,
+                 seed: Int): Array[Long] = {
+    val nBits = clk.length * 8
+    val sampled = k * LambdaNumHashFuncs
+    val keys = new Array[Long](lambda)
+    var lam = 0
+    while (lam < lambda) {
+      var key = lam.toLong << 56 // tag so keys from different λ never collide
+      var j = 0
+      while (j < sampled) {
+        val pos = java.lang.Math.floorMod(
+          scala.util.hashing.MurmurHash3.productHash((lam, j), seed), nBits)
+        if ((clk(pos >> 3) & (1 << (pos & 7))) != 0) key |= (1L << j)
+        j += 1
+      }
+      keys(lam) = key
+      lam += 1
+    }
+    keys
+  }
+}
+
+/** CLK encode over N string fields → 512-byte Bloom bitvector (F7). */
+case class ClkEncode(children: Seq[Expression], secretSeed: Int)
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "clk_encode"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fields = new Array[String](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      fields(i) = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+      i += 1
+    }
+    Clk.encode(fields, secretSeed)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ClkEncode =
+    copy(children = newChildren)
+}
+
+/** λ-fold blocking keys from a CLK → array<long> of Λ keys (F9). */
+case class LambdaFoldKeys(child: Expression, lambda: Int, bfLen: Int,
+                          k: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lambda_fold_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Clk.lambdaFold(input.asInstanceOf[Array[Byte]], lambda, bfLen, k, seed))
+  override protected def withNewChildInternal(newChild: Expression): LambdaFoldKeys =
+    copy(child = newChild)
+}

@@ -1,0 +1,153 @@
+package graft.linkage.expr
+
+import java.text.Normalizer
+
+/** String-similarity / normalization kernels, written as static methods so
+  * both interpreted `nullSafeEval` and whole-stage-codegen paths of the
+  * Catalyst expressions in [[Expressions]] call the same code.
+  *
+  * Semantics are pinned to the reference's python `textdistance` library
+  * (used via recordlinkage at /root/reference/households/matching.py:480–491
+  * and directly at matching.py:110–247):
+  *
+  *  - jaroWinkler: Winkler prefix bonus (weight 0.1, prefix capped at 4) is
+  *    applied ONLY when the plain Jaro score exceeds 0.7 — verified against
+  *    the calibration exemplars at matching.py:25–31 ("205 GARDEN ST APT 5F"
+  *    vs "…5J" → 0.9472 requires jaro("5F","5J")=2/3 to get NO bonus, while
+  *    "…GARDEN STREET" vs "…GAREDN ST" → 0.9666 requires jw("STREET","ST")
+  *    = 0.8222 i.e. bonus WITH no minimum-length rule).
+  *  - jaroWinkler("", "") = 1, jaroWinkler("", x) = 0 (textdistance; the
+  *    address comparator overrides the former to 0 — matching.py:71–77).
+  *  - hammingSim: textdistance `hamming.normalized_similarity` with
+  *    truncate=False: mismatches over zip_longest, normalized by max length;
+  *    both-empty → 1 (matching.py:100–103).
+  */
+object Sim {
+
+  /** NFKD-normalize, drop non-ASCII, trim, upper-case — exactly the
+    * reference's `clean_string` (utils/data_reader.py:108–114:
+    * `unicodedata.normalize("NFKD", s).encode("ascii","ignore").strip().upper()`).
+    * Python bytes.strip() trims ASCII whitespace \t\n\v\f\r and space.
+    */
+  def normalizeAscii(s: String): String = {
+    if (s == null) return null
+    val n = Normalizer.normalize(s, Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (c < 128) sb.append(Character.toUpperCase(c))
+      i += 1
+    }
+    // trim ASCII whitespace (space, \t..\r) from both ends, like bytes.strip()
+    var from = 0
+    var to = sb.length
+    while (from < to && isAsciiSpace(sb.charAt(from))) from += 1
+    while (to > from && isAsciiSpace(sb.charAt(to - 1))) to -= 1
+    sb.substring(from, to)
+  }
+
+  @inline private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** Digits-only projection of a string — reference `clean_phone`
+    * (extract.py:87–90). */
+  def digitsOnly(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Plain Jaro similarity (textdistance parity). */
+  def jaro(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: matched chars out of order, halved
+    var k = 0
+    var halfTrans = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) halfTrans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = halfTrans / 2.0
+    (matches.toDouble / l1 + matches.toDouble / l2 + (matches - t) / matches) / 3.0
+  }
+
+  /** Jaro-Winkler, textdistance parity: bonus iff jaro > 0.7, prefix ≤ 4,
+    * weight 0.1. */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j > 0.7) {
+      val maxP = math.min(4, math.min(s1.length, s2.length))
+      var p = 0
+      while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+      if (p > 0) j + p * 0.1 * (1.0 - j) else j
+    } else j
+  }
+
+  /** Normalized Hamming similarity, textdistance parity
+    * (truncate=False: length difference counts as mismatches). */
+  def hammingSim(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    val mx = math.max(l1, l2)
+    if (mx == 0) return 1.0
+    val mn = math.min(l1, l2)
+    var d = mx - mn
+    var i = 0
+    while (i < mn) {
+      if (s1.charAt(i) != s2.charAt(i)) d += 1
+      i += 1
+    }
+    1.0 - d.toDouble / mx
+  }
+
+  private val metaphoneCodec = {
+    val m = new org.apache.commons.codec.language.Metaphone
+    m.setMaxCodeLen(8)
+    m
+  }
+
+  /** Metaphone signature (p-sig blocking schema,
+    * example-schema/blocking-schema/p-sig.json signatureSpecs[1]).
+    * commons-codec Metaphone; non-alpha stripped first (codec requirement).
+    */
+  def metaphone(s: String): String = {
+    if (s == null) return null
+    val letters = s.filter(c => Character.isLetter(c))
+    if (letters.isEmpty) "" else metaphoneCodec.metaphone(letters)
+  }
+}
