@@ -1,0 +1,44 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocking-key derivation (reference matching.py:390–470 + the p-sig
+  * frequency guard, example-schema/blocking-schema/p-sig.json).
+  *
+  * Two blocking passes, exactly the reference's
+  * (matching.py:401–405, non-exact mode):
+  *   pass A: [household_zip, addr.street, addr.number]
+  *   pass B: [household_zip, family_name]
+  * Exact mode: [household_zip, addr.full] (matching.py:402).
+  *
+  * Each pass yields (pass, block_key, conv_id) with rows lacking an
+  * address filtered out first ("" == "" must not match,
+  * matching.py:410–418).
+  */
+object Blocking {
+
+  val KeySep = ""
+
+  case class Pass(name: String, keys: Seq[String])
+
+  val defaultPasses: Seq[Pass] = Seq(
+    Pass("zip_street_number",
+      Seq("household_zip", "addr.street", "addr.number")),
+    Pass("zip_family_name", Seq("household_zip", "family_name")))
+
+  val exactPasses: Seq[Pass] = Seq(
+    Pass("zip_address", Seq("household_zip", "addr.full")))
+
+  def blockKey(keys: Seq[String]): Column =
+    concat_ws(KeySep, keys.map(col): _*)
+
+  /** (pass, block_key, conv_id) for one pass, address-present rows only. */
+  def keyed(records: DataFrame, pass: Pass): DataFrame =
+    records
+      .filter(col("addr.full") =!= "")
+      .select(
+        lit(pass.name).as("pass"),
+        blockKey(pass.keys).as("block_key"),
+        col("conv_id"))
+}

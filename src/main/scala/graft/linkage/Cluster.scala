@@ -1,0 +1,161 @@
+package graft.linkage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Transitive closure: distributed connected components replacing the
+  * reference's driver-side BFS (households.py:152–169; SURVEY.md §2.9).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond") implemented purely as
+  * DataFrame groupBy/join rounds — no collect_list, so hub nodes never
+  * materialize a neighbor array; skew is absorbed by the aggregation
+  * (partial min) + AQE. Converges in O(log n) rounds.
+  *
+  * Lineage is truncated each round. With a checkpoint dir the round state
+  * is written to reliable storage (`iter_k/` parquet + `_cc_state.json`),
+  * so a killed job resumes from the last completed round (north-rule
+  * resumability); without one, localCheckpoint() is used.
+  */
+object Cluster {
+
+  case class Options(
+      checkpointDir: Option[String] = None,
+      maxIter: Int = 50)
+
+  /** edges: (id_a: long, id_b: long), undirected, self-loop-free.
+    * Returns (id, cluster_id) for every node APPEARING IN EDGES; callers
+    * attach singletons via [[labelRecords]]. */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+                          opts: Options = Options()): DataFrame = {
+    var (cur, startIter) = opts.checkpointDir match {
+      case Some(dir) => resumeOrInit(spark, edges, dir)
+      case None => (normalize(edges), 0)
+    }
+    // a resumed state is already parquet-backed; re-persisting it would
+    // overwrite the very files being read (self-overwrite ⇒ FILE_NOT_EXIST)
+    if (startIter == 0) {
+      cur = cur.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+    }
+    var converged = false
+    var iter = startIter
+    var prevSig = signature(cur)
+    while (!converged && iter < opts.maxIter) {
+      val ls = largeStar(cur)
+      val ss = smallStar(ls)
+      val next = persistRound(spark, ss, opts, iter)
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      cur.unpersist()
+      cur = next
+      iter += 1
+    }
+    require(converged, s"CC did not converge in ${opts.maxIter} rounds")
+    // fixpoint edges are (node -> component-min root); roots map to selves
+    val nodeToRoot = cur.select(col("hi").as("id"), col("lo").as("cluster_id"))
+    val roots = cur.select(col("lo").as("id")).distinct()
+      .join(nodeToRoot.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cluster_id", col("id"))
+    nodeToRoot.unionByName(roots)
+  }
+
+  /** Undirected edge set as (hi, lo) with hi > lo, deduped. */
+  private def normalize(edges: DataFrame): DataFrame = {
+    val a = edges.columns(0)
+    val b = edges.columns(1)
+    edges
+      .select(greatest(col(a), col(b)).as("hi"),
+        least(col(a), col(b)).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+  }
+
+  /** large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v ∈ N(u), v > u. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+      .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+  }
+
+  /** small-star on (hi, lo) edges: ∀u, m = min(N_lo(u));
+    * emit (v, m) ∀ v ∈ N_lo(u) ∪ {u}, v ≠ m. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("hi").agg(min(col("lo")).as("m"))
+    val reattached = edges.join(mins, "hi")
+      .select(col("lo").as("node"), col("m"))
+    val self = mins.select(col("hi").as("node"), col("m"))
+    reattached.unionByName(self)
+      .filter(col("node") =!= col("m"))
+      .select(greatest(col("node"), col("m")).as("hi"),
+        least(col("node"), col("m")).as("lo"))
+      .distinct()
+  }
+
+  /** Cheap fixpoint signature: (count, xor of pair hashes) — xor is
+    * order-independent and can't overflow under ANSI mode. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      count(lit(1)).as("c"),
+      coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)).as("h"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def persistRound(spark: SparkSession, df: DataFrame,
+                           opts: Options, iter: Int): DataFrame =
+    opts.checkpointDir match {
+      case Some(dir) if iter >= 0 =>
+        val path = s"$dir/iter_$iter"
+        df.write.mode("overwrite").parquet(path)
+        writeState(spark, dir, iter)
+        // a resumed run may overwrite a path cached by the session-shared
+        // FileStatusCache — drop the stale listing before re-reading
+        spark.catalog.refreshByPath(path)
+        spark.read.parquet(path)
+      case _ =>
+        df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+    }
+
+  private def writeState(spark: SparkSession, dir: String, iter: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_cc_state.json")
+    val out = fs.create(p, true)
+    out.write(s"""{"last_completed_iter": $iter}""".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Resume from the last completed round if state exists. */
+  private def resumeOrInit(spark: SparkSession, edges: DataFrame,
+                           dir: String): (DataFrame, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val statePath = new org.apache.hadoop.fs.Path(s"$dir/_cc_state.json")
+    if (fs.exists(statePath)) {
+      val in = fs.open(statePath)
+      val txt = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      val iter = "\\d+".r.findFirstIn(txt).map(_.toInt).getOrElse(-1)
+      if (iter >= 0 && fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/iter_$iter"))) {
+        return (spark.read.parquet(s"$dir/iter_$iter"), iter + 1)
+      }
+    }
+    (normalize(edges), 0)
+  }
+
+  /** Attach labels to all records; nodes without edges become their own
+    * cluster (singleton semantics, households.py:247–249). */
+  def labelRecords(records: DataFrame, labels: DataFrame,
+                   idCol: String = "node_id"): DataFrame =
+    records.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+}

@@ -1,0 +1,112 @@
+package graft.linkage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end linkage pipeline (reference flagship `households.py`
+  * lifecycle, SURVEY.md §3.1):
+  *
+  *   transcripts ──fold──▶ records ──block──▶ candidate pairs
+  *     ──score──▶ matches ──CC──▶ clusters ──▶ outputs + metrics
+  *
+  * Shuffle inventory (each deliberate): #1 fold groupBy(conv_id);
+  * #2 candidate self-join on blocking keys (salted + capped); #3 pair
+  * attribute joins on conv_id; #4..k CC rounds (checkpointed);
+  * #k+1 cluster aggregation. Node ids inside CC are xxhash64(conv_id)
+  * (collision odds n²/2⁶⁴ — negligible below ~10⁹ records; swap for a
+  * 128-bit id at full 10¹² scale).
+  */
+object Pipeline {
+
+  case class Config(
+      passes: Seq[Blocking.Pass] = Blocking.defaultPasses,
+      candidates: Candidates.Config = Candidates.Config(),
+      ccOptions: Cluster.Options = Cluster.Options(),
+      metricsPath: Option[String] = None)
+
+  case class Result(
+      records: DataFrame,
+      candidatePairs: DataFrame,
+      scoredPairs: DataFrame,
+      matchedPairs: DataFrame,
+      labeledRecords: DataFrame,
+      clusters: DataFrame,
+      metrics: DataFrame)
+
+  def run(spark: SparkSession, transcripts: DataFrame,
+          cfg: Config = Config()): Result = {
+    val records = Fold.fold(transcripts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val pairs = Candidates.candidates(records, cfg.passes, cfg.candidates)
+    val scored = Scoring.scorePairs(records, pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = Scoring.matches(scored)
+
+    // CC over hashed ids; map back to conv_id afterwards
+    val withNode = records.withColumn("node_id", xxhash64(col("conv_id")))
+    val edges = matched
+      .select(xxhash64(col("id_a")).as("a"), xxhash64(col("id_b")).as("b"))
+    val labels = Cluster.connectedComponents(spark, edges, cfg.ccOptions)
+    val labeledByNode = Cluster.labelRecords(withNode, labels)
+    // human-readable cluster id: min conv_id in the cluster
+    val clusterName = labeledByNode.groupBy(col("cluster_id"))
+      .agg(min(col("conv_id")).as("cluster_key"))
+    val labeled = labeledByNode.join(clusterName, Seq("cluster_id"))
+      .drop("cluster_id").withColumnRenamed("cluster_key", "cluster_id")
+
+    val clustersDf = Output.clusters(labeled)
+
+    val metrics = metricsDf(spark, Seq(
+      ("records", records.count()),
+      ("candidate_pairs", pairs.count()),
+      ("scored_pairs_past_addr_prefilter", scored.count()),
+      ("matched_pairs", matched.count()),
+      ("clusters", clustersDf.count())))
+    cfg.metricsPath.foreach(p => TableIO.write(metrics, p))
+
+    Result(records, pairs, scored, matched, labeled, clustersDf, metrics)
+  }
+
+  private def metricsDf(spark: SparkSession,
+                        rows: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("metric", "value")
+  }
+
+  /** Pairwise P/R/F1 vs an answer key, restricted to labeled pairs at the
+    * same blocking key (north rule; reference hh_score.py:50–58).
+    * Truth = intra-cluster pairs from the key that share ≥1 blocking key.
+    */
+  def pairwiseF1(records: DataFrame, matched: DataFrame,
+                 answerKey: DataFrame,
+                 passes: Seq[Blocking.Pass] = Blocking.defaultPasses)
+      : (Double, Double, Double) = {
+    val keyedAll = passes.map(p => Blocking.keyed(records, p))
+      .reduce(_ unionByName _)
+    val l = keyedAll.toDF("pass", "block_key", "id_a")
+    val r = keyedAll.toDF("pass_b", "block_key_b", "id_b")
+    val sameBlock = l.join(r,
+        col("pass") === col("pass_b") &&
+        col("block_key") === col("block_key_b") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val ka = answerKey.select(col("conv_id").as("id_a"),
+      col("cluster_id").as("ca"))
+    val kb = answerKey.select(col("conv_id").as("id_b"),
+      col("cluster_id").as("cb"))
+    val truth = sameBlock.join(ka, Seq("id_a")).join(kb, Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .select("id_a", "id_b")
+
+    val tp = matched.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+    val predicted = matched.count()
+    val actual = truth.count()
+    val precision = if (predicted == 0) 1.0 else tp.toDouble / predicted
+    val recall = if (actual == 0) 1.0 else tp.toDouble / actual
+    val f1 = if (precision + recall == 0) 0.0
+             else 2 * precision * recall / (precision + recall)
+    (precision, recall, f1)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.linkage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-like table layout over Parquet (SURVEY.md §7.6: no Iceberg
+  * runtime jar exists in this sandbox — verified /opt/spark/jars).
+  * Every table write produces:
+  *   <path>/data/…parquet        (optionally partitioned)
+  *   <path>/_snapshot.json       (row count, schema, file list — the
+  *                                manifest/snapshot pointer)
+  * giving the north rule's per-partition lineage/metrics + resumability
+  * hooks; a real Iceberg catalog can be swapped in behind this interface
+  * on a real cluster.
+  */
+object TableIO {
+
+  def write(df: DataFrame, path: String,
+            partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    val withPart = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*)
+                   else w
+    withPart.parquet(s"$path/data")
+    writeSnapshot(df, path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/data")
+
+  private def writeSnapshot(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val files = listParquet(fs, dataPath)
+    val count = spark.read.parquet(s"$path/data").count()
+    val filesJson = files.map(f =>
+      s"""{"path": "${f._1}", "bytes": ${f._2}}""").mkString("[", ",", "]")
+    val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json =
+      s"""{"row_count": $count, "num_files": ${files.size},
+         |"schema": "$schemaJson",
+         |"files": $filesJson}""".stripMargin
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_snapshot.json"), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def listParquet(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path)
+      : Seq[(String, Long)] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        buf += ((f.getPath.toString, f.getLen))
+    }
+    buf.result()
+  }
+}

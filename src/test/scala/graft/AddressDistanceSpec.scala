@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.linkage.Scoring
+
+/** Pins the composite address comparator to the reference's own published
+  * calibration exemplars (matching.py:25–31) — the strongest available
+  * parity evidence, since those four numbers exercise the weight shift,
+  * the suffix max-of-variants, the secondary-unit scoring and the
+  * whole-string floor at once. */
+class AddressDistanceSpec extends AnyFunSuite with SparkFixture {
+
+  private def addr(number: String, street: String, suffix: String,
+                   prefix: String, value: String, full: String) =
+    (number, street, suffix, prefix, value, full)
+
+  private def score(a: (String, String, String, String, String, String),
+                    b: (String, String, String, String, String, String))
+      : Double = {
+    import spark.implicits._
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(
+        struct($"a._1".as("number"), $"a._2".as("street"),
+          $"a._3".as("suffix"), $"a._4".as("prefix"),
+          $"a._5".as("value"), $"a._6".as("full")).as("a"),
+        struct($"b._1".as("number"), $"b._2".as("street"),
+          $"b._3".as("suffix"), $"b._4".as("prefix"),
+          $"b._5".as("value"), $"b._6".as("full")).as("b"))
+    df.select(Scoring.addressDistance(col("a"), col("b")).as("s"))
+      .head().getDouble(0)
+  }
+
+  private val garden205 =
+    addr("205", "GARDEN", "ST", "", "", "205 GARDEN ST")
+  private val garden206 =
+    addr("206", "GARDEN", "ST", "", "", "206 GARDEN ST")
+  private val garedn205 =
+    addr("205", "GAREDN", "ST", "", "", "205 GAREDN ST")
+  private val gardenStreet205 =
+    addr("205", "GARDEN", "STREET", "", "", "205 GARDEN STREET")
+  private val apt5F =
+    addr("205", "GARDEN", "ST", "APT", "5F", "205 GARDEN ST APT 5F")
+  private val apt5J =
+    addr("205", "GARDEN", "ST", "APT", "5J", "205 GARDEN ST APT 5J")
+
+  test("matching.py:26 — 205 vs 206 GARDEN ST → 0.8333") {
+    assert(math.abs(score(garden205, garden206) - 0.8333) < 5e-4)
+  }
+  test("matching.py:27 — GARDEN vs GAREDN → 0.98444") {
+    assert(math.abs(score(garden205, garedn205) - 0.98444) < 5e-5)
+  }
+  test("matching.py:28 — GARDEN STREET vs GAREDN ST → 0.9666") {
+    assert(math.abs(score(gardenStreet205, garedn205) - 0.9666) < 1e-3)
+  }
+  test("matching.py:29 — APT 5F vs APT 5J → 0.9472") {
+    assert(math.abs(score(apt5F, apt5J) - 0.9472) < 5e-4)
+  }
+  test("matching.py:71–83 — empty→0 (even both), identical→1") {
+    val empty = addr("", "", "", "", "", "")
+    assert(score(empty, empty) == 0.0)
+    assert(score(empty, garden205) == 0.0)
+    assert(score(garden205, garden205) == 1.0)
+  }
+  test("symmetry") {
+    assert(math.abs(score(garden205, garedn205) -
+      score(garedn205, garden205)) < 1e-12)
+    assert(math.abs(score(apt5F, apt5J) - score(apt5J, apt5F)) < 1e-12)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.linkage.Cluster
+
+/** Connected components: known graphs, singleton semantics
+  * (households.py:247–249), GraphX cross-check, checkpoint resume. */
+class ClusterSpec extends AnyFunSuite with SparkFixture {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    Cluster.connectedComponents(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components + chain") {
+    // chain 1-2-3-4, pair 10-11
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(labels(2L) == 1L && labels(3L) == 1L && labels(4L) == 1L)
+    assert(labels(11L) == 10L)
+    assert(!labels.contains(1L) || labels(1L) == 1L)
+  }
+
+  test("star graph with high-degree hub") {
+    val labels = cc((2L to 200L).map(i => (100L, i)) :+ (1L, 100L))
+    assert((2L to 200L).forall(i => labels.getOrElse(i, i) == 1L))
+  }
+
+  test("duplicate and reversed edges collapse") {
+    val labels = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L)))
+    assert(labels(6L) == 5L && labels(7L) == 5L)
+  }
+
+  test("matches GraphX ConnectedComponents on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 500).map(_ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val ours = cc(edges)
+    val gx = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(spark.sparkContext.parallelize(edges), 0)
+    val gxLabels = org.apache.spark.graphx.lib.ConnectedComponents
+      .run(gx).vertices.collect().toMap
+    // same partition: nodes grouped identically (labels may differ)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    def groupOf(m: Map[Long, Long], n: Long) = m.getOrElse(n, n)
+    val oursGroups = nodes.groupBy(groupOf(ours, _)).values
+      .map(_.toSet).toSet
+    val gxGroups = nodes.groupBy(n => gxLabels(n)).values
+      .map(_.toSet).toSet
+    assert(oursGroups == gxGroups)
+  }
+
+  test("resume from checkpoint reproduces identical labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val edges = (1L to 50L).map(i => (i, i + 1L)) ++ Seq((200L, 201L))
+    val df = edges.toDF("a", "b")
+    val full = Cluster.connectedComponents(spark, df,
+      Cluster.Options(checkpointDir = Some(dir)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // second run finds _cc_state.json from the completed run and resumes
+    // from the final round — labels must be identical
+    val resumed = Cluster.connectedComponents(spark, df,
+      Cluster.Options(checkpointDir = Some(dir)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == resumed)
+    // and a partial-state resume: delete the state file, keep round files,
+    // rewrite state to iter 0 → resume mid-computation
+    val state = new java.io.File(s"$dir/_cc_state.json")
+    // drop hadoop LocalFileSystem's checksum sidecar before tampering
+    new java.io.File(s"$dir/._cc_state.json.crc").delete()
+    java.nio.file.Files.writeString(state.toPath,
+      """{"last_completed_iter": 0}""")
+    val midResumed = Cluster.connectedComponents(spark, df,
+      Cluster.Options(checkpointDir = Some(dir)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == midResumed)
+  }
+}
