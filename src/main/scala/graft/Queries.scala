@@ -1,12 +1,18 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.linkage.expr.{functions => gf}
 
 /** Driver-contract queries: one per SQL-expressible operator family from
   * SURVEY.md §2, phrased over /root/testdata TPC-H-ish parquet with DuckDB
   * oracle SQL (SURVEY.md §7.7). Column names are aliased identically on
   * both sides — the driver's compare sorts columns by name and hashes.
+  *
+  * Determinism rules: every LIMIT is preceded by a total ORDER BY;
+  * double-precision aggregates are cast to DECIMAL before summing or
+  * rounded after; set outputs avoid engine-specific iteration order.
   */
 object Queries {
 
@@ -14,14 +20,308 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/O5: value_counts top-N with min-count guard
-    // (data_analysis.py:139–155)
+
+    // ---- aggregations (SURVEY §2.4) ----
+
+    // A1/O5: value_counts top-N with min-count guard (data_analysis.py:139–155)
     "q_topn_counts" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 3)
         .orderBy(col("cnt").desc, col("o_orderpriority"))
         .limit(3)),
+
+    // TPC-H Q1-style pricing summary; decimal casts keep sums exact
+    "q_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A2: duplicate-id detection (data_analysis.py:44–50)
+    "q_dup_ids" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(100)),
+
+    // A3: min/max/missing (data_analysis.py:52–58)
+    "q_minmax_missing" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+        sum(when(col("o_orderdate").isNull, 1).otherwise(0)).as("n_missing"))),
+
+    // A5: character histogram (data_analysis.py:166–170)
+    "q_char_histogram" -> ((s, dir) =>
+      t(s, dir, "region")
+        .select(explode(split(col("r_name"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("ch"))),
+
+    // A6: blank-aware missing count per group (data_analysis.py:160–161)
+    "q_missing_blank" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(when(col("text").isNull || trim(col("text")) === "", 1)
+          .otherwise(0)).as("n_blank"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
+    // A4: summary stats (describe analog, data_analysis.py:158–163)
+    "q_summary_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // ---- joins (SURVEY §2.3) ----
+
+    // J1: blocked self-join with a<b dedup (matching.py:390–470)
+    "q_blocked_selfjoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("ka"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+      val b = c.select(col("c_custkey").as("kb"),
+        col("c_nationkey").as("nkb"), col("c_mktsegment").as("segb"))
+      a.join(b, col("nk") === col("nkb") && col("seg") === col("segb") &&
+          col("ka") < col("kb"))
+        .groupBy(col("nk")).agg(count(lit(1)).as("pairs"))
+        .orderBy(col("nk"))
+    }),
+
+    // J3/W1: correlated top-1-per-group decorrelated to a window
+    "q_window_top1" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"),
+          col("o_orderkey").as("latest_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // J4/W2: positional join via row_number (linkid_to_patid.py:84–90)
+    "q_positional_join" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .withColumn("pos",
+          row_number().over(Window.orderBy(col("n_name"))) - 1)
+      val r = t(s, dir, "region")
+        .withColumn("pos",
+          row_number().over(Window.orderBy(col("r_name"))) - 1)
+      n.join(r, Seq("pos"))
+        .select(col("pos"), col("n_name"), col("r_name"))
+        .orderBy(col("pos"))
+    }),
+
+    // J5: comma-joined ids split + explode (linkid_to_patid.py:114–131)
+    "q_explode_split" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("names"))
+        .select(col("n_regionkey"),
+          explode(split(col("names"), ",")).as("nm"))
+        .orderBy(col("n_regionkey"), col("nm"))),
+
+    // J6: semi-join prefilter (matching.py:523–530)
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    // U3: anti-join (answer-key FP split, hh_score.py:36–50)
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    // U1: union of pair sets + dedup (matching.py:408,463)
+    "q_union_dedup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast("int").as("nk"),
+          substring(col("c_name"), 1, 1).as("initial"))
+        .unionByName(t(s, dir, "supplier")
+          .select(col("s_nationkey").cast("int").as("nk"),
+            substring(col("s_name"), 1, 1).as("initial")))
+        .distinct()
+        .orderBy(col("nk"), col("initial"))),
+
+    // J8: full-outer key diff (validate_metadata.py:49–70)
+    "q_fullouter_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").cast("int")
+        .as("nk")).agg(count(lit(1)).as("cv"))
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").cast("int")
+        .as("nk")).agg(count(lit(1)).as("sv"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .filter(!(col("cv") <=> col("sv")))
+        .orderBy(col("nk"))
+    }),
+
+    // ---- projections / cleaning (SURVEY §2.2) ----
+
+    // P6: value-mapping rewrite with default (extract.py:159–218)
+    "q_value_mapping" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", "B")
+            .when(col("c_mktsegment") === "AUTOMOBILE", "A")
+            .when(col("c_mktsegment") === "MACHINERY", "M")
+            .otherwise("OTHER").as("seg_code"))
+        .orderBy(col("c_custkey"))),
+
+    // P2: digits-only cleaning (extract.py:87–90)
+    "q_clean_digits" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(regexp_replace(col("o_orderpriority"), "[^0-9]", "")
+          .as("digits"))
+        .distinct().orderBy(col("digits"))),
+
+    // P10: format masking digits→#, letters→X (data_analysis.py:129–136)
+    "q_format_mask" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(regexp_replace(
+          regexp_replace(col("c_name"), "[0-9]", "#"), "[A-Za-z]", "X")
+          .as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("mask"))),
+
+    // P4/P11: date reformat + grouping (extract.py:99–102)
+    "q_clean_dates" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .groupBy(col("ym")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("ym"))),
+
+    // JSON props extraction (events side table)
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    // ---- similarity functions (SURVEY §2.8) ----
+
+    // F3: levenshtein (builtin both engines)
+    "q_levenshtein" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), substring(col("p_type"), 1, 8))
+            .as("lev"))
+        .orderBy(col("p_partkey")).limit(500)),
+
+    // F1: our Catalyst JaroWinkler vs DuckDB jaro_winkler_similarity
+    // (semantics verified identical incl. the 0.7 boost rule; empty-empty
+    // differs so inputs are guaranteed non-empty here)
+    "q_jaro_winkler" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          round(gf.jaro_winkler(col("p_name"), col("p_brand")), 6)
+            .as("jw"))
+        .orderBy(col("p_partkey")).limit(500)),
+
+    // ---- windows / sessionization (SURVEY §2.5, events table) ----
+
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+            1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_s")).as("sessions"),
+          count(lit(1)).as("events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- training-data ops: text analysis ----
+
+    // token counting (whitespace tokenizer)
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(trim(col("text")) === "", 0)
+            .otherwise(size(split(trim(col("text")), "\\s+")))
+            .as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // quality scoring: length + distinct-token ratio
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(size(array_distinct(split(trim(col("text")), "\\s+")))
+            .cast("double") /
+            size(split(trim(col("text")), "\\s+")), 4).as("ttr"),
+          length(col("text")).as("len"))
+        .orderBy(col("doc_id"))),
+
+    // language-ID heuristic: en stopword hits
+    "q_lang_stopwords" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          ((when(col("text").rlike("(^| )the( |$)"), 1).otherwise(0)) +
+           (when(col("text").rlike("(^| )a( |$)"), 1).otherwise(0)) +
+           (when(col("text").rlike("(^| )and( |$)"), 1).otherwise(0)))
+            .as("en_hits"))
+        .orderBy(col("doc_id"))),
+
+    // exact dedup: hash-groupBy keep-min (training-data op)
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n"))
+        .orderBy(col("keeper"))),
+
+    // ---- training-data ops: embeddings ----
+
+    // L2 norm via higher-order aggregate (functions, not UDFs)
+    "q_embedding_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 3)
+            .as("l2"))
+        .orderBy(col("vec_id"))),
+
+    // brute-force cosine top-k against a fixed query vector (ANN baseline)
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val dot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) =>
+          x.cast("double") * y.cast("double")), lit(0.0d), (acc, v) => acc + v)
+      val norm = (a: Column) =>
+        sqrt(aggregate(a, lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot(col("embedding"), col("q_emb")) /
+            (norm(col("embedding")) * norm(col("q_emb"))), 3).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -29,5 +329,200 @@ object Queries {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          GROUP BY o_orderpriority HAVING count(*) >= 3
          ORDER BY cnt DESC, o_orderpriority LIMIT 3""",
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+             AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_dup_ids" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+         GROUP BY user_id HAVING count(*) > 1
+         ORDER BY cnt DESC, user_id LIMIT 100""",
+
+    "q_minmax_missing" ->
+      """SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+                strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_missing
+         FROM orders""",
+
+    "q_char_histogram" ->
+      """SELECT ch, count(*) AS cnt FROM
+           (SELECT unnest(string_split(r_name, '')) AS ch FROM region)
+         WHERE ch <> '' GROUP BY ch ORDER BY ch""",
+
+    "q_missing_blank" ->
+      """SELECT lang,
+           CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+           count(*) AS n
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_summary_stats" ->
+      """SELECT lang, count(*) AS n, min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars, round(avg(n_chars), 4) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_blocked_selfjoin" ->
+      """SELECT a.c_nationkey AS nk, count(*) AS pairs
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment
+          AND a.c_custkey < b.c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_window_top1" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders)
+         WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q_positional_join" ->
+      """SELECT n.pos, n.n_name, r.r_name FROM
+           (SELECT n_name, row_number() OVER (ORDER BY n_name) - 1 AS pos
+            FROM nation) n
+         JOIN
+           (SELECT r_name, row_number() OVER (ORDER BY r_name) - 1 AS pos
+            FROM region) r
+         USING (pos) ORDER BY pos""",
+
+    "q_explode_split" ->
+      """SELECT n_regionkey, unnest(string_split(names, ',')) AS nm FROM
+           (SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS names
+            FROM nation GROUP BY n_regionkey)
+         ORDER BY n_regionkey, nm""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+
+    "q_union_dedup" ->
+      """SELECT CAST(c_nationkey AS INT) AS nk, substr(c_name, 1, 1)
+             AS initial FROM customer
+         UNION
+         SELECT CAST(s_nationkey AS INT) AS nk, substr(s_name, 1, 1)
+             AS initial FROM supplier
+         ORDER BY nk, initial""",
+
+    "q_fullouter_diff" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk, c.cv, s.sv FROM
+           (SELECT CAST(c_nationkey AS INT) AS nk, count(*) AS cv
+            FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+           (SELECT CAST(s_nationkey AS INT) AS nk, count(*) AS sv
+            FROM supplier GROUP BY 1) s
+         ON c.nk = s.nk
+         WHERE c.cv IS DISTINCT FROM s.sv
+         ORDER BY nk""",
+
+    "q_value_mapping" ->
+      """SELECT c_custkey,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 'B'
+             WHEN 'AUTOMOBILE' THEN 'A' WHEN 'MACHINERY' THEN 'M'
+             ELSE 'OTHER' END AS seg_code
+         FROM customer ORDER BY c_custkey""",
+
+    "q_clean_digits" ->
+      """SELECT DISTINCT regexp_replace(o_orderpriority, '[^0-9]', '', 'g')
+           AS digits FROM orders ORDER BY digits""",
+
+    "q_format_mask" ->
+      """SELECT mask, count(*) AS cnt FROM
+           (SELECT regexp_replace(regexp_replace(c_name, '[0-9]', '#', 'g'),
+                   '[A-Za-z]', 'X', 'g') AS mask FROM customer)
+         GROUP BY mask ORDER BY mask""",
+
+    "q_clean_dates" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt
+         FROM orders GROUP BY ym ORDER BY ym""",
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_levenshtein" ->
+      """SELECT p_partkey, levenshtein(p_brand, substr(p_type, 1, 8)) AS lev
+         FROM part ORDER BY p_partkey LIMIT 500""",
+
+    "q_jaro_winkler" ->
+      """SELECT p_partkey, round(jaro_winkler_similarity(p_name, p_brand), 6)
+           AS jw
+         FROM part ORDER BY p_partkey LIMIT 500""",
+
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS sessions,
+                count(*) AS events FROM
+           (SELECT user_id,
+              CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                   ELSE 0 END AS new_s
+            FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_ts FROM events))
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+           round(CAST(len(list_distinct(regexp_split_to_array(trim(text),
+                 '\s+'))) AS DOUBLE) /
+             len(regexp_split_to_array(trim(text), '\s+')), 4) AS ttr,
+           length(text) AS len
+         FROM documents ORDER BY doc_id""",
+
+    "q_lang_stopwords" ->
+      """SELECT doc_id, lang,
+           (CASE WHEN regexp_matches(text, '(^| )the( |$)') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '(^| )a( |$)') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '(^| )and( |$)') THEN 1 ELSE 0 END)
+             AS en_hits
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY keeper""",
+
+    "q_embedding_norm" ->
+      """SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2
+         FROM embeddings ORDER BY vec_id""",
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings
+                    WHERE vec_id = 0)
+         SELECT e.vec_id,
+           round(list_sum(list_transform(
+               list_zip(e.embedding, q.q_emb),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.q_emb,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS cos
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> 0
+         ORDER BY cos DESC, vec_id LIMIT 20"""
   )
 }

@@ -102,8 +102,12 @@ object Sim {
       }
       i += 1
     }
-    val t = halfTrans / 2.0
-    (matches.toDouble / l1 + matches.toDouble / l2 + (matches - t) / matches) / 3.0
+    // textdistance parity: `trans_count //= 2` — integer FLOOR division
+    // (an odd out-of-order count rounds down; verified against DuckDB's
+    // implementation on e.g. "old anvil" vs "Brand#14" → t=1, not 1.5)
+    val t = halfTrans / 2
+    (matches.toDouble / l1 + matches.toDouble / l2 +
+      (matches - t).toDouble / matches) / 3.0
   }
 
   /** Jaro-Winkler, textdistance parity: bonus iff jaro > 0.7, prefix ≤ 4,

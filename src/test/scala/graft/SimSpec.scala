@@ -17,6 +17,10 @@ class SimSpec extends AnyFunSuite {
     assert(approx(Sim.jaro("GARDEN", "GAREDN"), (1.0 + 1.0 + 5.0 / 6) / 3))
     assert(approx(Sim.jaro("STREET", "ST"), (2.0 / 6 + 1.0 + 1.0) / 3))
     assert(approx(Sim.jaro("5F", "5J"), (0.5 + 0.5 + 1.0) / 3))
+    // odd out-of-order count floors: t = 3 // 2 = 1 (textdistance/DuckDB
+    // parity — matched chars d,a,n vs a,n,d are all out of order)
+    assert(approx(Sim.jaro("old anvil", "Brand#14"),
+      (3.0 / 9 + 3.0 / 8 + 2.0 / 3) / 3))
   }
 
   test("jaro-winkler: boost only above 0.7, prefix capped at 4") {
