@@ -303,6 +303,92 @@ object Queries {
             .as("l2"))
         .orderBy(col("vec_id"))),
 
+    // BPE-ish pre-tokenizer counts (oracle: regexp_extract_all both sides)
+    "q_bpeish_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.data.TextAnalysis.bpeishTokenCount(col("text"))
+            .as("n_bpeish"))
+        .orderBy(col("doc_id"))),
+
+    // ---- rows-only checks (engine-specific hashing; no DuckDB oracle) ----
+
+    // MinHash+LSH near-dup detection over documents + planted garbles
+    "q_minhash_neardups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
+      graft.data.Dedup.minHashNearDups(docs.unionByName(planted),
+        graft.data.Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.5))
+        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
+          .as("jaccard"))
+    }),
+
+    // SimHash near-dup detection, same planted-garble construction
+    "q_simhash_neardups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
+      val sigs = graft.data.Dedup.simHash(docs.unionByName(planted))
+      graft.data.Dedup.simHashNearDups(sigs, maxDistance = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // hyperplane-LSH ANN top-k (scale path; brute force is the oracle-
+    // backed q_cosine_topk)
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.data.Ann.lshTopK(e, queries, k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF ANN top-k (seeded k-means coarse quantizer)
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.data.Ann.ivfTopK(e, queries, k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // language-ID heuristic over documents
+    "q_lang_guess" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.data.TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))),
+
+    // quality-score features over documents
+    "q_quality_features" -> ((s, dir) =>
+      graft.data.TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    // winnowing-style fingerprints over documents
+    "q_fingerprints" -> ((s, dir) =>
+      graft.data.TextAnalysis.fingerprints(t(s, dir, "documents"))
+        .select(col("doc_id"), col("content_hash"), col("min_gram_fp"))
+        .orderBy(col("doc_id"))),
+
+    // multimodal plumbing: stub-decoded features over synthetic media
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = graft.data.Multimodal.synthMedia(s, 200)
+      graft.data.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          col("byte_entropy_q"))
+        .orderBy(col("media_id"))
+    }),
+
     // brute-force cosine top-k against a fixed query vector (ANN baseline)
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -456,6 +542,12 @@ object Queries {
       """SELECT event_type, count(*) AS cnt,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_bpeish_tokens" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpeish
+         FROM documents ORDER BY doc_id""",
 
     "q_levenshtein" ->
       """SELECT p_partkey, levenshtein(p_brand, substr(p_type, 1, 8)) AS lev

@@ -1,0 +1,205 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an embedding column
+  * (array<float>) — training-data pipeline op.
+  *
+  * Three tiers, all pure DataFrame (higher-order functions for the dot
+  * products — codegen'd, no UDFs):
+  *  - brute force: broadcast queries × corpus, exact cosine, window top-k —
+  *    the correctness baseline and the right plan when |queries| is small
+  *  - hyperplane LSH: 16 seeded random hyperplanes → 16-bit bucket;
+  *    multi-probe on query side; verify exact cosine inside buckets
+  *  - IVF: seeded k-means coarse quantizer; probe nprobe nearest
+  *    centroids only — the 100-TB scale path (corpus partitioned by
+  *    centroid; a query touches nprobe/k of the data)
+  */
+object Ann {
+
+  // ---------- shared vector math (Column level) ----------
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // ---------- brute force ----------
+
+  /** Exact top-k by cosine for each query row.
+    * corpus: (id, embedding); queries: (query_id, embedding). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cos"), col("rank"))
+  }
+
+  // ---------- hyperplane LSH ----------
+
+  /** Deterministic pseudo-gaussian hyperplanes (seeded). */
+  private def planes(numPlanes: Int, dims: Int, seed: Long)
+      : Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dims)(rnd.nextGaussian())
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(lit(_)): _*)
+
+  /** 16-bit LSH bucket of an embedding column. */
+  def lshBucket(emb: Column, numPlanes: Int = 16, dims: Int = 64,
+                seed: Long = 7L): Column = {
+    val ps = planes(numPlanes, dims, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, planeLit(p)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket or any
+    * 1-bit-flipped probe bucket (multi-probe), verified by exact cosine;
+    * returns top-k per query among candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numPlanes: Int = 16, dims: Int = 64, seed: Long = 7L,
+              idCol: String = "vec_id"): DataFrame = {
+    val bucketed = corpus
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dims, seed))
+    val qb = queries
+      .withColumn("bucket0", lshBucket(col("embedding"), numPlanes, dims, seed))
+    // multi-probe: the bucket itself + all single-bit flips
+    val probes = qb.select(col("query_id"), col("embedding").as("q_emb"),
+      explode(array(
+        (col("bucket0") +:
+          (0 until numPlanes).map(i =>
+            col("bucket0").bitwiseXOR(shiftleft(lit(1L), i)))): _*))
+        .as("bucket"))
+    val cands = bucketed.join(broadcast(probes), Seq("bucket"))
+      .select(col("query_id"), col(idCol), col("embedding"), col("q_emb"))
+      .distinct()
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: same LSH bucket, exact cosine ≥ t
+    * (the embedding leg of the dedup family). */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+                     numPlanes: Int = 16, dims: Int = 64, seed: Long = 7L,
+                     idCol: String = "vec_id"): DataFrame = {
+    val bucketed = corpus
+      .withColumn("bucket", lshBucket(col("embedding"), numPlanes, dims, seed))
+    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col("embedding").as("emb_a"))
+    val r = bucketed.select(col("bucket").as("bucket_r"),
+      col(idCol).as("id_b"), col("embedding").as("emb_b"))
+    l.join(r, col("bucket") === col("bucket_r") &&
+        col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  // ---------- IVF ----------
+
+  case class IvfConfig(nCentroids: Int = 16, nProbe: Int = 4,
+                       lloydIters: Int = 3, dims: Int = 64,
+                       seed: Long = 11L)
+
+  /** Seeded k-means coarse quantizer: returns centroids (small,
+    * driver-side array) trained by Lloyd iterations executed as
+    * posexplode + groupBy means — all distributed. */
+  def trainCentroids(corpus: DataFrame, cfg: IvfConfig,
+                     idCol: String = "vec_id"): Array[Array[Double]] = {
+    // deterministic init: the nCentroids rows with smallest xxhash64(id)
+    var centroids = corpus
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy(col("h")).limit(cfg.nCentroids)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until cfg.lloydIters).foreach { _ =>
+      val assigned = assign(corpus, centroids)
+      val means = assigned
+        .select(col("centroid"), posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("centroid"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("mean"))
+        .collect()
+      val byC = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byC.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Double](cfg.dims)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Assign each row to its nearest centroid (L2). */
+  def assign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.map { c =>
+      aggregate(zip_with(col("embedding"), planeLit(c),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0d), (acc, v) => acc + v)
+    }
+    val distArr = array(dists: _*)
+    corpus.withColumn("centroid",
+      (array_position(distArr, array_min(distArr)) - 1).cast("int"))
+  }
+
+  /** IVF search: per query, probe the nProbe nearest centroids' cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cfg: IvfConfig = IvfConfig(),
+              idCol: String = "vec_id"): DataFrame = {
+    val centroids = trainCentroids(corpus, cfg, idCol)
+    val cells = assign(corpus, centroids)
+      .select(col("centroid"), col(idCol), col("embedding"))
+    val qAssigned = queries.select(col("query_id"),
+      col("embedding").as("q_emb"),
+      explode(nearestCentroids(col("embedding"), centroids, cfg.nProbe))
+        .as("centroid"))
+    val cands = cells.join(broadcast(qAssigned), Seq("centroid"))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cos"), col("rank"))
+  }
+
+  /** Array of the nProbe nearest centroid indices for a vector column. */
+  private def nearestCentroids(emb: Column, centroids: Array[Array[Double]],
+                               nProbe: Int): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(emb, planeLit(c),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0d), (acc, v) => acc + v).as("d"),
+        lit(i).as("i"))
+    }
+    slice(transform(array_sort(array(dists: _*)), s => s.getField("i")),
+      1, nProbe)
+  }
+}

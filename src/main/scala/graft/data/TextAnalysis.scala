@@ -1,0 +1,116 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language ID (stopword-profile
+  * heuristic), quality scoring, tokenization (whitespace + BPE-ish regex),
+  * and document fingerprinting. Pure Column expressions — codegen'd,
+  * shuffle-free (per-row projections).
+  */
+object TextAnalysis {
+
+  // ---------- tokenization ----------
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column =
+    when(trim(text) === "", array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
+    * non-alnum-non-space chars (GPT-2-style pre-tokenization shape). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  // ---------- language ID ----------
+
+  /** Tiny per-language stopword profiles (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it",
+      "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+      "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que",
+      "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "de",
+      "por"))
+
+  /** Per-language hit count: |tokens ∩ stopwords(lang)| weighted by
+    * occurrence. */
+  def langHits(tokens: Column, lang: String): Column =
+    size(filter(tokens, t =>
+      t.isin(stopwords(lang).map(s => lit(s): Any): _*)))
+
+  /** Argmax language guess; "und" (undetermined) when no profile hits.
+    * A CJK ratio check routes ideographic text to "zh" first. */
+  def langGuess(text: Column): Column = {
+    val toks = transform(wsTokens(text), t => lower(t))
+    val scored = array(stopwords.keys.toSeq.sorted.map(l =>
+      struct(langHits(toks, l).as("hits"), lit(l).as("lang"))): _*)
+    val best = element_at(array_sort(scored, (a, b) =>
+      when(a.getField("hits") > b.getField("hits"), -1)
+        .when(a.getField("hits") < b.getField("hits"), 1)
+        .otherwise(0)), 1)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    when(cjk * 2 > length(text), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // ---------- quality scoring ----------
+
+  /** Heuristic quality features + a composite score in [0,1]:
+    * length band, type-token ratio, punctuation ratio, mean word length
+    * band, stopword presence. */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = wsTokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val punct = nChar - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    val ttr = when(nTok > 0,
+      size(array_distinct(toks)).cast("double") / nTok).otherwise(0.0)
+    val meanWordLen = when(nTok > 0,
+      (nChar - (nTok - 1)).cast("double") / nTok).otherwise(0.0)
+    val stopRatio = when(nTok > 0,
+      langHits(transform(toks, lower(_)), "en").cast("double") / nTok)
+      .otherwise(0.0)
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("punct_ratio",
+        when(nChar > 0, punct.cast("double") / nChar).otherwise(0.0))
+      .withColumn("ttr", ttr)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        round(
+          (when(nTok.between(10, 5000), 0.3).otherwise(0.0)) +
+          (when(col("ttr").between(0.2, 0.95), 0.25).otherwise(0.0)) +
+          (when(col("punct_ratio") < 0.2, 0.2).otherwise(0.0)) +
+          (when(col("mean_word_len").between(2.0, 12.0), 0.15)
+            .otherwise(0.0)) +
+          (when(col("stopword_ratio") > 0.02, 0.1).otherwise(0.0)), 4))
+  }
+
+  // ---------- fingerprinting ----------
+
+  /** Winnowing-style fingerprint: minimum of rolling k-gram hashes —
+    * stable under text reordering-free edits; plus a full-content hash. */
+  def fingerprints(docs: DataFrame, textCol: String = "text",
+                   k: Int = 5): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val cnt = size(toks)
+    val grams = when(cnt >= k,
+      transform(sequence(lit(1), cnt - (k - 1)), i =>
+        xxhash64(concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array(xxhash64(col(textCol))))
+    docs
+      .withColumn("content_hash", xxhash64(col(textCol)))
+      .withColumn("min_gram_fp", array_min(grams))
+      .withColumn("max_gram_fp", array_max(grams))
+  }
+}

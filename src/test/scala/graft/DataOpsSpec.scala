@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.data.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** Training-data ops: dedup family, ANN, text analysis, multimodal
+  * plumbing — tested on planted-duplicate corpora. */
+class DataOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private val words = Array("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+    "november", "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+
+  /** 60 base docs of 40 words; ids 1000+i are near-dups of doc i (two
+    * words changed ≈ 85–95% shingle overlap); ids 2000/2001 exact dups. */
+  private lazy val corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(40)(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    }
+    val nearDups = base.take(20).map { case (i, text) =>
+      val toks = text.split(" ")
+      toks(7) = "changed"; toks(23) = "altered"
+      (1000L + i, toks.mkString(" "))
+    }
+    val exactDups = Seq((2000L, base.head._2), (2001L, base.head._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    val out = Dedup.exact(corpus).filter(col("group_size") > 1)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.keySet == Set(0L, 2000L, 2001L))
+    assert(rows.values.toSet == Set(0L))
+  }
+
+  test("minhash LSH finds planted near-dups with no false positives") {
+    // planted overlap ≈ 0.71–0.85; r=2 (32 bands) gives P(miss) ≈ 1e-9
+    // vs ~1e-2 at the r=4 default that's tuned for s ≥ 0.8
+    val dups = Dedup.minHashNearDups(corpus,
+      Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.6))
+    val pairs = dups.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 20 planted near-dup pairs recovered
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)), s"missing pair $i")
+    }
+    // exact dups too
+    assert(pairs.contains((0L, 2000L)) && pairs.contains((0L, 2001L)))
+    // nothing across unrelated docs (doc 0's family = {0, 1000 near-dup,
+    // 2000/2001 exact copies} — any pair inside it is a true positive)
+    val family0 = Set(0L, 1000L, 2000L, 2001L)
+    val unrelated = pairs.filterNot { case (a, b) =>
+      (b - a == 1000) || Set(a, b).subsetOf(family0)
+    }
+    assert(unrelated.isEmpty, s"false positives: $unrelated")
+  }
+
+  test("simhash near-dups at hamming<=3 catch small edits") {
+    import spark.implicits._
+    // one-word edit on a 40-word doc flips few simhash bits
+    val base = corpus.filter(col("doc_id") < 60)
+    val oneEdit = base.limit(10).as[(Long, String)].collect().map {
+      case (id, text) =>
+        val toks = text.split(" "); toks(3) = "edited"
+        (3000L + id, toks.mkString(" "))
+    }
+    val all = base.unionByName(oneEdit.toSeq.toDF("doc_id", "text"))
+    val sigs = Dedup.simHash(all)
+    val dups = Dedup.simHashNearDups(sigs, maxDistance = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 10).count(i => dups.contains((i.toLong, 3000L + i)))
+    assert(found >= 8, s"only $found/10 one-edit pairs at hamming<=8")
+  }
+
+  test("ngram jaccard verification is exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val exploded = Dedup.explodedShingles(docs, n = 3)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(exploded, pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // shingles(1)={abc,bcd,cde}, shingles(2)={abc,bcd,cdx}: 2/4
+    assert(math.abs(j((1L, 2L)) - 0.5) < 1e-12)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  private lazy val embeddings = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    // planted near-dups: tiny perturbation of first 10
+    val near = base.take(10).map { case (i, v) =>
+      (5000L + i, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ near).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk: self similarity and planted neighbor first") {
+    import spark.implicits._
+    val queries = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val topk = Ann.bruteForceTopK(embeddings, queries, k = 2)
+    val byQ = topk.collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { q =>
+      val ranked = byQ(q).sortBy(_.getInt(3)).map(_.getLong(1))
+      assert(ranked(0) == q, s"rank1 of $q should be itself")
+      assert(ranked(1) == 5000L + q,
+        s"rank2 of $q should be its planted near-dup, got ${ranked(1)}")
+    }
+  }
+
+  test("LSH topk recalls the planted neighbor") {
+    val queries = embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val topk = Ann.lshTopK(embeddings, queries, k = 2)
+    val byQ = topk.collect().groupBy(_.getLong(0))
+    val hits = (0L until 10L).count { q =>
+      byQ.get(q).exists(_.exists(_.getLong(1) == 5000L + q))
+    }
+    assert(hits >= 9, s"LSH recall $hits/10 for planted near-identical dups")
+  }
+
+  test("IVF topk matches brute force on planted near-dups") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val topk = Ann.ivfTopK(embeddings, queries, k = 2,
+      Ann.IvfConfig(nCentroids = 8, nProbe = 3))
+    val byQ = topk.collect().groupBy(_.getLong(0))
+    val hits = (0L until 5L).count { q =>
+      byQ.get(q).exists(_.exists(_.getLong(1) == 5000L + q))
+    }
+    assert(hits >= 4, s"IVF recall $hits/5")
+  }
+
+  test("embedding cosine near-dup pairs") {
+    val dups = Ann.cosineNearDups(embeddings, threshold = 0.95)
+    val pairs = dups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 10).count(i =>
+      pairs.contains((i.toLong, 5000L + i)))
+    assert(found >= 9, s"cosine near-dup recall $found/10")
+    assert(pairs.forall { case (a, b) => b - a == 5000 },
+      s"false positives among random gaussians: ${pairs.take(5)}")
+  }
+
+  test("language ID heuristic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is a good day for all of us"),
+      (2L, "der hund ist nicht mit der katze und das ist ein problem"),
+      (3L, "le chat est sur la table et les enfants sont pour une pause"),
+      (4L, "el perro es un animal y la casa es de los padres por ahora"),
+      (5L, "你好 世界 这是 中文 文本 测试"),
+      (6L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.langGuess(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "es")
+    assert(out(5L) == "zh"); assert(out(6L) == "und")
+  }
+
+  test("tokenization + quality + fingerprints") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello, world! 42 times."), (2L, ""),
+      (3L, "a a a a a a a a a a a a")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(toks(1L) == ((4, 7))) // Hello , world ! 42 times . → 7 bpe-ish
+    assert(toks(2L) == ((0, 0)))
+    val q = TextAnalysis.qualityFeatures(docs)
+      .select("doc_id", "ttr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(3L) < 0.1) // repeated token → tiny type-token ratio
+    // fingerprints: identical text → identical fps; edit changes content
+    val fps = TextAnalysis.fingerprints(
+      Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+        (3L, "a b c d e f h")).toDF("doc_id", "text"))
+      .select("doc_id", "content_hash", "min_gram_fp").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L)._1 != fps(3L)._1)
+  }
+
+  test("multimodal: stub decode, features, frame sampling, partitioning") {
+    val media = Multimodal.synthMedia(spark, 90)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 90)
+    val f = feats.filter(col("modality") === "image").head()
+    assert(f.n_bytes >= 256 && f.mean_byte > 64 && f.mean_byte < 192)
+    val frames = Multimodal.sampleFrames(media, everyN = 4)
+    assert(frames.count() > 0)
+    import spark.implicits._
+    assert(frames.map(_.frame_idx).distinct().collect()
+      .forall(_ % 4 == 0))
+    val parted = Multimodal.partitionByModality(media.toDF, 12)
+    assert(parted.rdd.getNumPartitions == 12)
+    // resize keeps decodability
+    val resized = Multimodal.resizeStub(media, 0.5)
+    assert(Multimodal.extractFeatures(resized).count() == 90)
+  }
+}
