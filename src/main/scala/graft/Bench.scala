@@ -1,24 +1,157 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.linkage._
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the linkage pipeline on a synthetic transcript
+  * corpus, and prints ONE JSON line.
+  *
+  * Env knobs:
+  *   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS     local[N] parallelism (default 4)
+  *   SPARK_GRAFT_BENCH_CONVS  linkage corpus seed-conv count (default 20000)
+  *   SPARK_GRAFT_SCALING  "1" → also run the linkage bench at cpus/4 in a
+  *                        fresh session and report scaling efficiency
+  *                        (two parallelism levels stand in for two cluster
+  *                        sizes in this sandbox — see BASELINE.md)
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Force full materialization (count() would let Catalyst prune the
+    * projections we want to measure). */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  case class LinkageStats(records: Long, candidatePairs: Long,
+                          matched: Long, clusters: Long,
+                          tFold: Double, tCandidates: Double,
+                          tScore: Double, tCluster: Double) {
+    def total: Double = tFold + tCandidates + tScore + tCluster
+    def pairsPerSec: Double =
+      if (tScore > 0) candidatePairs / tScore else 0.0
+    def turnsPerSec(turns: Long): Double = turns / total
+  }
+
+  /** Staged linkage run with materialization barriers so each stage's
+    * wall time is attributable. */
+  def linkageBench(spark: SparkSession, nConvs: Int): (LinkageStats, Long) = {
+    import org.apache.spark.storage.StorageLevel
+    val cfg = SynthTranscripts.Config(seed = 42L, nConvs = nConvs,
+      days = math.max(20, nConvs / 500))
+    val transcripts = SynthTranscripts.transcripts(spark, cfg).toDF
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTurns = transcripts.count() // corpus generation outside timings
+
+    val (records, tFold) = time {
+      val r = Fold.fold(transcripts).persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nRecords = records.count()
+
+    val (pairs, tCand) = time {
+      val p = Candidates.candidates(records, Blocking.defaultPasses)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+    val nPairs = pairs.count()
+
+    val (scored, tScore) = time {
+      val sc = Scoring.scorePairs(records, pairs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sc.count()
+      sc
+    }
+    val matched = Scoring.matches(scored)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nMatched = matched.count()
+
+    val (nClusters, tCc) = time {
+      val edges = matched.select(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id_a")).as("a"),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id_b")).as("b"))
+      val labels = Cluster.connectedComponents(spark, edges)
+      labels.select("cluster_id").distinct().count()
+    }
+
+    transcripts.unpersist(); records.unpersist(); pairs.unpersist()
+    scored.unpersist(); matched.unpersist()
+    (LinkageStats(nRecords, nPairs, nMatched, nClusters,
+      tFold, tCand, tScore, tCc), nTurns)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
+    val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "0") == "1"
+
+    val spark = session(cpus)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t = try {
+          val (_, secs) = time(exec(fn(spark, sfDir)))
+          secs
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+        name -> t
+    }
+    val (stats, nTurns) = linkageBench(spark, nConvs)
     spark.stop()
+
+    // optional scaling run at cpus/4 (fresh JVM-local session)
+    val scalingJson = if (scaling && cpus >= 4) {
+      val small = session(cpus / 4)
+      val (statsSmall, _) = linkageBench(small, nConvs)
+      small.stop()
+      val thrBig = stats.pairsPerSec
+      val thrSmall = statsSmall.pairsPerSec
+      val eff = (thrBig / thrSmall) / 4.0
+      f""","scaling":{"cpus_small":${cpus / 4},"cpus_big":$cpus,""" +
+        f""""pairs_per_sec_small":${thrSmall}%.1f,""" +
+        f""""pairs_per_sec_big":${thrBig}%.1f,""" +
+        f""""efficiency":${eff}%.4f}"""
+    } else ""
+
+    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val totalQ = queryTimes.map(_._2).filter(_ >= 0).sum
+    val total = totalQ + stats.total
+    val linkage =
+      f"""{"n_convs":$nConvs,"n_turns":$nTurns,""" +
+      f""""records":${stats.records},"candidate_pairs":${stats.candidatePairs},""" +
+      f""""matched_pairs":${stats.matched},"clusters":${stats.clusters},""" +
+      f""""t_fold":${stats.tFold}%.3f,"t_candidates":${stats.tCandidates}%.3f,""" +
+      f""""t_score":${stats.tScore}%.3f,"t_cluster":${stats.tCluster}%.3f,""" +
+      f""""pairs_scored_per_sec":${stats.pairsPerSec}%.1f,""" +
+      f""""turns_per_sec":${stats.turnsPerSec(nTurns)}%.1f}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""linkage":$linkage,"cpus":$cpus$scalingJson,"sf":"$sfDir"}""")
   }
 }

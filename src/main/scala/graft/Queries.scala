@@ -319,8 +319,11 @@ object Queries {
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
+      // r=8 rows/band: planted one-word garbles sit at s≈0.99 (caught
+      // w.p. ~1), while the shared-vocabulary corpus pairs (s≈0.3) get
+      // s^8≈7e-5 per band — keeps the verify join linear, not quadratic
       graft.data.Dedup.minHashNearDups(docs.unionByName(planted),
-        graft.data.Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.5))
+        graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.5))
         .orderBy(col("id_a"), col("id_b"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
           .as("jaccard"))

@@ -37,14 +37,28 @@ object Dedup {
   // ---------- shingling ----------
 
   /** Word n-gram shingles of a normalized text column. Texts shorter than
-    * n words shingle to the whole text. */
+    * n words shingle to the whole text.
+    *
+    * Built by zip_with over shifted slices — O(n·k) per doc. (The naive
+    * transform(sequence, i => element_at(toks, i+j)) is O(n²) because
+    * element_at walks the array per index; at 2k-token docs that was the
+    * whole pipeline's bottleneck.) */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val toks = split(trim(textCol), "\\s+")
     val cnt = size(toks)
-    when(cnt >= n,
-      transform(sequence(lit(1), cnt - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array(trim(textCol)))
+    val grams = wordNgrams(toks, cnt, n)
+    when(cnt >= n, grams).otherwise(array(trim(textCol)))
+  }
+
+  /** n-grams of a token array via iterated zip_with against shifted
+    * slices; concat (not concat_ws) so the null padding of the shorter
+    * slice nulls out incomplete grams, which are then filtered. */
+  private[graft] def wordNgrams(toks: Column, cnt: Column, n: Int): Column = {
+    val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), greatest(cnt - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, g => g.isNotNull)
   }
 
   /** (id, shingle) distinct pairs. */
@@ -130,10 +144,15 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, cfg: MinHashConfig = MinHashConfig(),
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
+    // persist the fan-out points: exploded feeds the signatures AND both
+    // sides of the verify join; candidate pairs are consumed twice inside
+    // verify — without caching those subtrees re-execute per consumer
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minHashSignatures(exploded, cfg, idCol)
+      .persist(lvl)
+    val sigs = minHashSignatures(exploded, cfg, idCol).persist(lvl)
     val cands = lshCandidates(lshBuckets(sigs, cfg, idCol), idCol)
+      .persist(lvl)
     jaccardVerify(exploded, cands, idCol)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
   }

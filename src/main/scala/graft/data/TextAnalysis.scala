@@ -104,9 +104,7 @@ object TextAnalysis {
     val toks = wsTokens(col(textCol))
     val cnt = size(toks)
     val grams = when(cnt >= k,
-      transform(sequence(lit(1), cnt - (k - 1)), i =>
-        xxhash64(concat_ws(" ",
-          (0 until k).map(j => element_at(toks, i + j)): _*))))
+      transform(Dedup.wordNgrams(toks, cnt, k), g => xxhash64(g)))
       .otherwise(array(xxhash64(col(textCol))))
     docs
       .withColumn("content_hash", xxhash64(col(textCol)))

@@ -1,0 +1,139 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.linkage.expr.{functions => gf}
+
+/** Extract/clean stage — reference `extract.py` + the config-driven source
+  * mapping layer (utils/data_reader.py; SURVEY.md §2.2, §3.2).
+  *
+  * One declarative job: scan → per-field mapped/cleaned projection →
+  * validation counters as `observe()` metrics (P5 — no second pass) →
+  * seeded privacy shuffle (O1; the reference shuffles unseeded,
+  * extract.py:134 — determinism is a documented deviation, §7.5).
+  */
+object Extract {
+
+  /** Reference HEADER (extract.py:26–35). */
+  val Header: Seq[String] = Seq("record_id", "given_name", "family_name",
+    "DOB", "sex", "phone_number", "household_street_address",
+    "household_zip")
+
+  /** Per-field source spec (data_reader.py:13–44 DATA_DICTIONARY +
+    * validate.py rules): one or more source columns (list-valued keys
+    * concatenated with " ", data_reader.py:140–152), optional default,
+    * optional value-mapping rules, optional date format. */
+  case class FieldSpec(
+      sources: Seq[String] = Nil,
+      default: Option[String] = None,
+      valueMap: Map[String, String] = Map.empty,
+      dateFormat: Option[String] = None)
+
+  case class TranslationConfig(fields: Map[String, FieldSpec])
+
+  /** Case-insensitive source column resolution (map_key,
+    * data_reader.py:117–125). */
+  private def resolve(df: DataFrame, name: String): Option[Column] =
+    df.columns.find(_.equalsIgnoreCase(name)).map(col)
+
+  /** Cleaning per target field (extract.py:87–102;
+    * data_reader.py:108–114). */
+  private def cleaned(field: String, c: Column,
+                      spec: FieldSpec): Column = field match {
+    case "phone_number" =>
+      regexp_replace(trim(c), "[^0-9]", "") // clean_phone
+    case "household_zip" => trim(c) // clean_zip
+    case "DOB" => // clean_dob_fromstr
+      spec.dateFormat match {
+        case Some(fmt) => // try_to_date: unparseable → "" even under ANSI
+          coalesce(date_format(try_to_date(c, fmt), "yyyy-MM-dd"), lit(""))
+        case None => trim(c)
+      }
+    case "record_id" | "sex" => trim(c)
+    case _ => gf.normalize_ascii(c) // names/addresses: clean_string
+  }
+
+  /** Build the mapped+cleaned projection for one field. */
+  private def fieldColumn(df: DataFrame, field: String,
+                          spec: FieldSpec): Column = {
+    val srcCols = spec.sources.flatMap(resolve(df, _))
+    val raw: Column =
+      if (srcCols.isEmpty) lit(spec.default.getOrElse(""))
+      else if (srcCols.size == 1) srcCols.head
+      else concat_ws(" ", srcCols: _*) // multi-column concat (P7)
+    val defaulted = spec.default match {
+      case Some(d) =>
+        when(raw.isNull || trim(raw) === "", lit(d)).otherwise(raw)
+      case None => coalesce(raw, lit("")) // empty-string nulls (P12)
+    }
+    // value-mapping rewrite (P6): small maps become when-chains
+    val mapped = spec.valueMap.foldLeft(defaulted) {
+      case (acc, (from, to)) => when(acc === from, lit(to)).otherwise(acc)
+    }
+    cleaned(field, mapped, spec).as(field)
+  }
+
+  /** The extraction query. `observe` carries the validation report (P5:
+    * null / blank / non-ascii / unmapped counts per field) — read it from
+    * the listener or via df.observedMetrics after an action. */
+  def extract(source: DataFrame, conf: TranslationConfig,
+              shuffleSeed: Long = 42L): DataFrame = {
+    val cols = Header.map(f =>
+      fieldColumn(source, f, conf.fields.getOrElse(f, FieldSpec())))
+    val projected = source.select(cols: _*)
+    val validations = Header.flatMap { f =>
+      Seq(
+        sum(when(col(f) === "", 1).otherwise(0)).as(s"${f}_blank"),
+        sum(when(col(f).rlike("[^\\x00-\\x7F]"), 1).otherwise(0))
+          .as(s"${f}_non_ascii"))
+    }
+    projected
+      .observe("extract_validation", validations.head, validations.tail: _*)
+      .orderBy(rand(shuffleSeed)) // privacy shuffle, seeded (O1)
+  }
+
+  /** S2: csv scan with everything forced to string and empty-string nulls
+    * (households.py:131–142 semantics). */
+  def readCsvAllStrings(spark: SparkSession, path: String): DataFrame = {
+    val header = spark.read.option("header", "true").csv(path).schema
+    val allStrings = StructType(header.fields.map(f =>
+      StructField(f.name, StringType, nullable = true)))
+    val df = spark.read.option("header", "true").schema(allStrings).csv(path)
+    df.select(df.columns.map(c => coalesce(col(c), lit("")).as(c)): _*)
+  }
+
+  /** S6: run metadata document (extract.py:262–271) — deterministic run id
+    * (content hash replaces uuid1, deviation §7.5). */
+  def metadata(df: DataFrame): Map[String, String] = {
+    val n = df.count()
+    val contentHash = df
+      .agg(coalesce(bit_xor(xxhash64(Header.map(col): _*)), lit(0L)))
+      .head().getLong(0)
+    Map(
+      "number_of_records" -> n.toString,
+      "run_id" -> java.lang.Long.toHexString(contentHash))
+  }
+
+  def writeMetadata(spark: SparkSession, meta: Map[String, String],
+                    path: String): Unit = {
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{", ", ", "}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readMetadata(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+}

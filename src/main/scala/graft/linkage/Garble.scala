@@ -1,0 +1,122 @@
+package graft.linkage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.linkage.expr.{functions => gf}
+
+/** Garble + block stages — reference `garble.py` / `block.py`: CLK
+  * Bloom encodings per schema, λ-fold and p-sig blocking keys, zip
+  * packaging. The anonlink subprocess boundary collapses into in-engine
+  * Catalyst expressions (SURVEY.md §2.8, §7.5).
+  */
+object Garble {
+
+  /** Secret validation (garble.py:48–60): hex, ≥ 32 chars. */
+  def validateSecret(secret: String): String = {
+    require(secret.matches("[0-9a-fA-F]+"),
+      "Secret must be in hexadecimal format")
+    require(secret.length >= 32, "Secret smaller than minimum security level")
+    secret
+  }
+
+  /** HMAC-SHA256 subkey derivation (derive_subkey.py:5–10),
+    * context ∈ {individuals, households}. */
+  def deriveSubkey(secret: String, context: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(context.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Schema validation: refuse the insecure doubleHash variant
+    * (garble.py:128–133). */
+  case class ClkSchema(fields: Seq[String], hashType: String = "blakeHash")
+  def validateSchema(schema: ClkSchema): ClkSchema = {
+    require(schema.hashType != "doubleHash",
+      "doubleHash is insecure and not supported (garble.py:128–133)")
+    schema
+  }
+
+  private def seedOf(subkey: String): Int =
+    java.lang.Long.parseLong(subkey.take(8), 16).toInt
+
+  /** Individual CLKs: one 4096-bit encoding per record over the schema
+    * fields (garble.py:135–145 / name-sex-dob-addr schema). */
+  def clks(records: DataFrame, schema: ClkSchema, secret: String,
+           context: String = "individuals"): DataFrame = {
+    validateSchema(schema)
+    val subkey = deriveSubkey(validateSecret(secret), context)
+    records.select(col("conv_id"),
+      gf.clk_encode(seedOf(subkey), schema.fields.map(col): _*).as("clk"))
+  }
+
+  /** Household CLKs from cluster representatives
+    * (households.py:308–334 analog). */
+  def householdClks(clusters: DataFrame, secret: String): DataFrame = {
+    val subkey = deriveSubkey(validateSecret(secret), "households")
+    clusters.select(col("cluster_id"),
+      gf.clk_encode(seedOf(subkey),
+        col("family_name"), col("phone_number"),
+        col("household_street_address"), col("household_zip")).as("clk"))
+  }
+
+  /** CLK JSON sink (S8): {"clks": ["<base64>", …]} — written as one JSON
+    * doc per partition-friendly shard under path/. */
+  def writeClksJson(clksDf: DataFrame, path: String): Unit =
+    clksDf.select(base64(col("clk")).as("clks"))
+      .write.mode("overwrite").json(path)
+
+  /** λ-fold block keys (block.py:41–44 + lambda.json): (conv_id,
+    * block_key) with Λ keys per record, exploded. */
+  def lambdaBlocks(clksDf: DataFrame, lambda: Int = 3, k: Int = 5,
+                   seed: Int = 0): DataFrame =
+    clksDf.select(col("conv_id"),
+      explode(gf.lambda_fold_keys(col("clk"), lambda, 64, k, seed))
+        .as("block_key"))
+
+  /** p-sig blocking (p-sig.json): signature union of
+    * chars-at-0(field1,field2) and metaphone(field1,field2), with the
+    * ratio filter dropping blocks > maxRatio of records (the reference's
+    * frequency-based skew guard). */
+  def psigBlocks(records: DataFrame, f1: String, f2: String,
+                 maxRatio: Double = 0.02): DataFrame = {
+    val total = records.count()
+    val sig1 = records.select(col("conv_id"),
+      concat(lit("c0:"), substring(col(f1), 1, 1),
+        substring(col(f2), 1, 1)).as("block_key"))
+    val sig2 = records.select(col("conv_id"),
+      concat(lit("mp:"), gf.metaphone_sig(col(f1)), lit("|"),
+        gf.metaphone_sig(col(f2))).as("block_key"))
+    val all = sig1.unionByName(sig2)
+    val keep = all.groupBy(col("block_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= (lit(maxRatio) * total))
+      .select("block_key")
+    all.join(keep, Seq("block_key"), "left_semi")
+  }
+
+  /** S7: zip packaging (driver-side java.util.zip, garble.py:151–157) —
+    * bundles the shard files under `dir` into one zip. */
+  def zipDirectory(spark: SparkSession, dir: String, zipPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val out = new java.util.zip.ZipOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(zipPath), true))
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        out.putNextEntry(new java.util.zip.ZipEntry(name))
+        val in = fs.open(f.getPath)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        out.closeEntry()
+      }
+    }
+    out.close()
+  }
+}
