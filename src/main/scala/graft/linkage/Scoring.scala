@@ -112,6 +112,11 @@ object Scoring {
     * the address prefilter, then the weighted sum. `records` must carry
     * conv_id, family_name, phone_number, addr. */
   def scorePairs(records: DataFrame, pairs: DataFrame): DataFrame = {
+    // The narrow pairs relation broadcasts (AQE picks this up at runtime)
+    // so the fat attribute side streams in place for the a-side join; the
+    // b-side join then shuffles the joined rows once. Do NOT pre-shuffle
+    // attrs here — measured slower: it forces an exchange of the wide
+    // structs that the broadcast plan avoids entirely.
     val attrs = records.select(
       col("conv_id"), col("family_name"), col("phone_number"), col("addr"))
     val a = attrs.toDF(attrs.columns.map("a_" + _): _*)

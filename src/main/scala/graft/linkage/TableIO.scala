@@ -27,6 +27,21 @@ object TableIO {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/data")
 
+  /** S10 analog (garble.py:82–93): resolve the newest timestamped table
+    * under `dir` by lexicographic name (names carry sortable stamps,
+    * e.g. pii-YYYYMMDD-HHMMSS). */
+  def latestTimestampedPath(spark: SparkSession, dir: String,
+                            prefix: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return None
+    val names = fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+    if (names.isEmpty) None else Some(s"$dir/${names.max}")
+  }
+
   private def writeSnapshot(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -35,11 +35,10 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    Sim.jaroWinkler(l.asInstanceOf[UTF8String].toString,
-      r.asInstanceOf[UTF8String].toString)
+    Sim.jaroWinklerUtf8(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.linkage.expr.Sim.jaroWinkler($a.toString(), $b.toString())")
+      s"graft.linkage.expr.Sim.jaroWinklerUtf8($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
@@ -51,11 +50,10 @@ case class HammingSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "hamming_sim"
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    Sim.hammingSim(l.asInstanceOf[UTF8String].toString,
-      r.asInstanceOf[UTF8String].toString)
+    Sim.hammingSimUtf8(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.linkage.expr.Sim.hammingSim($a.toString(), $b.toString())")
+      s"graft.linkage.expr.Sim.hammingSimUtf8($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HammingSim =
     copy(left = newLeft, right = newRight)

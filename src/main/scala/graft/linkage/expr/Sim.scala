@@ -24,6 +24,101 @@ import java.text.Normalizer
   */
 object Sim {
 
+  // Reusable per-thread scratch for the Jaro match flags: the scoring
+  // projection calls jaro millions of times per task; per-call array
+  // allocation was measurable GC pressure at 32 executor threads.
+  private val scratch = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](256)
+  }
+  private def flags(n: Int): Array[Boolean] = {
+    var a = scratch.get()
+    if (a.length < n) { a = new Array[Boolean](n); scratch.set(a) }
+    else java.util.Arrays.fill(a, 0, n, false)
+    a
+  }
+
+  /** Jaro over raw UTF-8 bytes — valid when both operands are pure ASCII
+    * (one byte = one char). All linkage fields are ASCII by construction
+    * (NormalizeAscii), so this is the hot path; general strings fall back
+    * to the char implementation. */
+  private def jaroAsciiBytes(b1: Array[Byte], o1: Int, l1: Int,
+                             b2: Array[Byte], o2: Int, l2: Int): Double = {
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m = flags(l1 + l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m(l1 + j) && b1(o1 + i) == b2(o2 + j)) {
+          m(i) = true; m(l1 + j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var k = 0
+    var halfTrans = 0
+    i = 0
+    while (i < l1) {
+      if (m(i)) {
+        while (!m(l1 + k)) k += 1
+        if (b1(o1 + i) != b2(o2 + k)) halfTrans += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = halfTrans / 2
+    (matches.toDouble / l1 + matches.toDouble / l2 +
+      (matches - t).toDouble / matches) / 3.0
+  }
+
+  @inline private def isAscii(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    val end = off + len
+    while (i < end) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** UTF8String entry point used by the Catalyst expressions: ASCII byte
+    * fast path (no String/char[] materialization), char fallback. */
+  def jaroWinklerUtf8(a: org.apache.spark.unsafe.types.UTF8String,
+                      b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val ab = a.getBytes; val bb = b.getBytes
+    if (isAscii(ab, 0, ab.length) && isAscii(bb, 0, bb.length)) {
+      val l1 = ab.length; val l2 = bb.length
+      if (l1 == 0 && l2 == 0) return 1.0
+      if (l1 == 0 || l2 == 0) return 0.0
+      if (a.equals(b)) return 1.0
+      val j = jaroAsciiBytes(ab, 0, l1, bb, 0, l2)
+      if (j > 0.7) {
+        val maxP = math.min(4, math.min(l1, l2))
+        var p = 0
+        while (p < maxP && ab(p) == bb(p)) p += 1
+        if (p > 0) j + p * 0.1 * (1.0 - j) else j
+      } else j
+    } else jaroWinkler(a.toString, b.toString)
+  }
+
+  def hammingSimUtf8(a: org.apache.spark.unsafe.types.UTF8String,
+                     b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val ab = a.getBytes; val bb = b.getBytes
+    if (isAscii(ab, 0, ab.length) && isAscii(bb, 0, bb.length)) {
+      val l1 = ab.length; val l2 = bb.length
+      val mx = math.max(l1, l2)
+      if (mx == 0) return 1.0
+      val mn = math.min(l1, l2)
+      var d = mx - mn
+      var i = 0
+      while (i < mn) { if (ab(i) != bb(i)) d += 1; i += 1 }
+      1.0 - d.toDouble / mx
+    } else hammingSim(a.toString, b.toString)
+  }
+
   /** NFKD-normalize, drop non-ASCII, trim, upper-case — exactly the
     * reference's `clean_string` (utils/data_reader.py:108–114:
     * `unicodedata.normalize("NFKD", s).encode("ascii","ignore").strip().upper()`).
@@ -72,8 +167,7 @@ object Sim {
     if (l1 == 0 || l2 == 0) return 0.0
     if (s1 == s2) return 1.0
     val window = math.max(0, math.max(l1, l2) / 2 - 1)
-    val m1 = new Array[Boolean](l1)
-    val m2 = new Array[Boolean](l2)
+    val m = flags(l1 + l2) // [0,l1) = s1 flags, [l1,l1+l2) = s2 flags
     var matches = 0
     var i = 0
     while (i < l1) {
@@ -82,8 +176,8 @@ object Sim {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
-          m1(i) = true; m2(j) = true; matches += 1; found = true
+        if (!m(l1 + j) && s1.charAt(i) == s2.charAt(j)) {
+          m(i) = true; m(l1 + j) = true; matches += 1; found = true
         }
         j += 1
       }
@@ -95,8 +189,8 @@ object Sim {
     var halfTrans = 0
     i = 0
     while (i < l1) {
-      if (m1(i)) {
-        while (!m2(k)) k += 1
+      if (m(i)) {
+        while (!m(l1 + k)) k += 1
         if (s1.charAt(i) != s2.charAt(k)) halfTrans += 1
         k += 1
       }
