@@ -1,0 +1,99 @@
+package graft.linkage
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point for the full linkage pipeline (north-rule
+  * deployment surface; the reference's `households.py` CLI analog):
+  *
+  *   spark-submit --class graft.linkage.LinkageMain <jar> \
+  *     --input <transcripts parquet/TableIO dir> \
+  *     --output <dir> \
+  *     [--checkpoint <dir>]       CC round checkpoints (resumable)
+  *     [--exact-addresses]        exact mode (matching.py:401–402)
+  *     [--pairsfile <parquet>]    pre-computed matched pairs
+  *     [--secret <hex>]           emit household CLKs (garble stage)
+  *     [--testrun]                emit the scoring files
+  *     [--synthetic <nConvs>]     generate a synthetic corpus instead of
+  *                                reading --input
+  *
+  * Writes TableIO-layout tables under --output: records, matched_pairs,
+  * clusters, mapping, metrics (+ household_clks, scoring files).
+  * Cluster sizing (partitions, AQE) comes from spark-submit conf; set
+  * spark.sql.adaptive.advisoryPartitionSizeInBytes low (8m) — scoring is
+  * CPU-bound, not byte-bound (see BASELINE.md).
+  */
+object LinkageMain {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--exact-addresses" | "--testrun" =>
+          m(args(i).drop(2)) = "true"; i += 1
+        case flag if flag.startsWith("--") && i + 1 < args.length =>
+          m(flag.drop(2)) = args(i + 1); i += 2
+        case other =>
+          throw new IllegalArgumentException(s"unexpected arg: $other")
+      }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val out = opts.getOrElse("output",
+      throw new IllegalArgumentException("--output required"))
+    val builder = SparkSession.builder()
+      .appName("graft-linkage")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit injects spark.master; fall back to local[*] when run
+    // directly (sbt runMain)
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val transcripts = opts.get("synthetic") match {
+      case Some(n) => SynthTranscripts.transcripts(spark,
+        SynthTranscripts.Config(nConvs = n.toInt)).toDF
+      case None =>
+        val in = opts.getOrElse("input",
+          throw new IllegalArgumentException("--input or --synthetic required"))
+        if (new java.io.File(s"$in/data").isDirectory ||
+            in.endsWith("/data")) TableIO.read(spark, in)
+        else spark.read.parquet(in)
+    }
+
+    val cfg = Pipeline.Config(
+      ccOptions = Cluster.Options(checkpointDir = opts.get("checkpoint")),
+      metricsPath = Some(s"$out/metrics"),
+      exactAddresses = opts.contains("exact-addresses"),
+      pairsFile = opts.get("pairsfile"))
+    val result = Pipeline.run(spark, transcripts, cfg)
+
+    TableIO.write(result.records.drop("turns"), s"$out/records")
+    TableIO.write(result.matchedPairs, s"$out/matched_pairs")
+    TableIO.write(result.clusters, s"$out/clusters")
+    // comma-joined ids only at the CSV edge (households.py:268–276 shape)
+    result.clusters.select(col("cluster_id"),
+        concat_ws(",", col("members")).as("record_ids"), col("size"))
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$out/mapping_csv")
+
+    if (opts.contains("testrun")) {
+      val (perMember, perHousehold) = Output.scoringFiles(result.labeledRecords)
+      TableIO.write(perMember, s"$out/hh_pos_patids")
+      TableIO.write(perHousehold, s"$out/household_pos_pid")
+    }
+    opts.get("secret").foreach { secret =>
+      val clks = Garble.householdClks(result.clusters, secret)
+      Garble.writeClksJson(
+        clks.withColumnRenamed("cluster_id", "conv_id"), s"$out/household_clks")
+    }
+    println(s"[graft] linkage complete: " +
+      s"${result.metrics.collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .mkString(", ")}")
+    spark.stop()
+  }
+}

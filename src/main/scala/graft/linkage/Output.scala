@@ -65,6 +65,23 @@ object Output {
       .select(col("HOUSEHOLD_ID"),
         explode(split(col("record_ids"), ",")).as("PATID"))
 
+  /** --testrun scoring files (households.py:261–265, 345–347):
+    * `hh_pos_patids` = (household_position, pid) one row per member;
+    * `household_pos_pid` = (household_position, pid) one row per
+    * household with the representative's id. */
+  def scoringFiles(labeled: DataFrame): (DataFrame, DataFrame) = {
+    val hh = labeled.groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(col("conv_id"))).as("members"),
+        min(col("conv_id")).as("rep"))
+      .withColumn("household_position",
+        row_number().over(W.orderBy(col("cluster_id"))) - 1)
+    val perMember = hh.select(col("household_position"),
+      explode(col("members")).as("pid"))
+    val perHousehold = hh.select(col("household_position"),
+      col("rep").as("pid"))
+    (perMember, perHousehold)
+  }
+
   /** Household-size stats (describe analog, households.py:278–281). */
   def sizeStats(clustersDf: DataFrame): DataFrame =
     clustersDf.select(col("size").cast("double").as("size")).summary()

@@ -22,7 +22,13 @@ object Pipeline {
       passes: Seq[Blocking.Pass] = Blocking.defaultPasses,
       candidates: Candidates.Config = Candidates.Config(),
       ccOptions: Cluster.Options = Cluster.Options(),
-      metricsPath: Option[String] = None)
+      metricsPath: Option[String] = None,
+      /** exact-address mode (matching.py:401–402, 333–335): block on
+        * [zip, full text]; candidate links ARE the matches, no scoring. */
+      exactAddresses: Boolean = false,
+      /** pre-computed matched pairs (households.py --pairsfile): skip
+        * blocking + scoring entirely. */
+      pairsFile: Option[String] = None)
 
   case class Result(
       records: DataFrame,
@@ -38,10 +44,22 @@ object Pipeline {
     val records = Fold.fold(transcripts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val pairs = Candidates.candidates(records, cfg.passes, cfg.candidates)
-    val scored = Scoring.scorePairs(records, pairs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val matched = Scoring.matches(scored)
+    val passes = if (cfg.exactAddresses) Blocking.exactPasses else cfg.passes
+    val pairs = cfg.pairsFile match {
+      case Some(path) => // S9-style pre-computed pairs, skip candidates
+        spark.read.parquet(path).toDF("id_a", "id_b")
+      case None => Candidates.candidates(records, passes, cfg.candidates)
+    }
+    val (scored, matched) =
+      if (cfg.pairsFile.isDefined || cfg.exactAddresses) {
+        // exact mode: candidate links are already all pairs with equal
+        // [zip, address] (matching.py:333–335) — no similarity scoring
+        (pairs, pairs)
+      } else {
+        val sc = Scoring.scorePairs(records, pairs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (sc, Scoring.matches(sc))
+      }
 
     // CC over hashed ids; map back to conv_id afterwards
     val withNode = records.withColumn("node_id", xxhash64(col("conv_id")))

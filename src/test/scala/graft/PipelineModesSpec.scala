@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.linkage._
+
+/** Pipeline variants: exact-address mode, pairsfile bypass, testrun
+  * scoring files (households.py --exact_addresses / --pairsfile /
+  * --testrun). */
+class PipelineModesSpec extends AnyFunSuite with SparkFixture {
+
+  private val cfg = SynthTranscripts.Config(seed = 7L, nConvs = 200,
+    typoProb = 0.0) // garbles are normalization-invariant only
+  private lazy val transcripts =
+    SynthTranscripts.transcripts(spark, cfg).toDF.cache()
+
+  test("exact-address mode clusters normalization-identical conversations") {
+    val result = Pipeline.run(spark, transcripts,
+      Pipeline.Config(exactAddresses = true))
+    // with typoProb=0 every garble normalizes to the seed's full text →
+    // exact [zip, full] blocking links them all
+    val key = SynthTranscripts.answerKey(spark, cfg).toDF
+    val (p, r, f1) = Pipeline.pairwiseF1(result.records,
+      result.matchedPairs, key, Blocking.exactPasses)
+    info(f"exact mode: p=$p%.4f r=$r%.4f f1=$f1%.4f")
+    assert(f1 >= 0.99)
+  }
+
+  test("exact-address mode does NOT link typo'd garbles") {
+    val typoCfg = cfg.copy(typoProb = 1.0, seed = 11L)
+    val t = SynthTranscripts.transcripts(spark, typoCfg).toDF
+    val result = Pipeline.run(spark, t,
+      Pipeline.Config(exactAddresses = true))
+    val fuzzy = Pipeline.run(spark, t, Pipeline.Config())
+    // fuzzy scoring links strictly more garbles than exact equality
+    assert(result.matchedPairs.count() < fuzzy.matchedPairs.count())
+  }
+
+  test("pairsfile bypasses blocking and scoring") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pairs").toString
+    Seq(("c1", "c3"), ("c2", "c4")).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(dir)
+    val result = Pipeline.run(spark, transcripts,
+      Pipeline.Config(pairsFile = Some(dir)))
+    assert(result.matchedPairs.count() == 2)
+    val labeled = result.labeledRecords
+      .select("conv_id", "cluster_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labeled("c1") == labeled("c3"))
+    assert(labeled("c2") == labeled("c4"))
+    assert(labeled("c1") != labeled("c2"))
+  }
+
+  test("testrun scoring files have the reference shape") {
+    import spark.implicits._
+    val labeled = Seq(("a", "k1"), ("b", "k1"), ("c", "k2"))
+      .toDF("conv_id", "cluster_id")
+    val (perMember, perHousehold) = Output.scoringFiles(labeled)
+    val pm = perMember.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(pm == Set((0, "a"), (0, "b"), (1, "c")))
+    val ph = perHousehold.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(ph == Set((0, "a"), (1, "c")))
+  }
+}
