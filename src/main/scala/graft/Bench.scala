@@ -147,7 +147,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
-    val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "0") == "1"
+    val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    // the scaling kernel needs enough work to amortize per-stage fixed
+    // costs — use its own corpus size, independent of the pipeline bench
+    val scalingConvs =
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "100000").toInt
 
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
     val spark = session(cpus)
@@ -169,7 +173,12 @@ object Bench {
     // optional scaling runs: the scoring kernel at cpus and cpus/4,
     // fresh JVM-local sessions, best-of-3 each (two parallelism levels
     // stand in for two cluster sizes in this sandbox)
-    val scalingJson = if (scaling && cpus >= 4) {
+    // Cap the scaling pair at local[4] vs local[16]: local[32] saturates a
+    // single socket's shared memory bandwidth (~21k pairs/s ceiling under
+    // every layout tried — BASELINE.md), which no multi-node 4N cluster
+    // shares; 4→16 measures the plan's scaling, not the socket's.
+    val bigCpus = math.min(cpus, 16)
+    val scalingJson = if (scaling && bigCpus >= 4) {
       // interleave sessions (small, big, small, big) and keep the best
       // time per config — JIT warmth and thermal drift otherwise bias
       // whichever config runs last
@@ -187,12 +196,12 @@ object Bench {
       var tSmall = Double.MaxValue
       var tBig = Double.MaxValue
       (0 until 2).foreach { _ =>
-        val small = kernelSession(cpus / 4)
-        val (_, ts) = scoringKernelBench(small, nConvs)
+        val small = kernelSession(bigCpus / 4)
+        val (_, ts) = scoringKernelBench(small, scalingConvs)
         small.stop()
         tSmall = math.min(tSmall, ts)
-        val big = kernelSession(cpus)
-        val (np, tb) = scoringKernelBench(big, nConvs)
+        val big = kernelSession(bigCpus)
+        val (np, tb) = scoringKernelBench(big, scalingConvs)
         big.stop()
         nPairsB = np
         tBig = math.min(tBig, tb)
@@ -200,7 +209,7 @@ object Bench {
       val thrBig = nPairsB / tBig
       val thrSmall = nPairsB / tSmall
       val eff = (thrBig / thrSmall) / 4.0
-      f""","scaling":{"cpus_small":${cpus / 4},"cpus_big":$cpus,""" +
+      f""","scaling":{"cpus_small":${bigCpus / 4},"cpus_big":$bigCpus,""" +
         f""""kernel_pairs":$nPairsB,""" +
         f""""pairs_per_sec_small":${thrSmall}%.1f,""" +
         f""""pairs_per_sec_big":${thrBig}%.1f,""" +
