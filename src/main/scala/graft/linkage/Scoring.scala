@@ -99,6 +99,11 @@ object Scoring {
       .otherwise(0.0)
 
     val base = numberScore + streetScore
+    // whole-string floor (matching.py:245–248). NOTE: do not try to gate
+    // the full-text jw behind `when(base >= (wN+wS)*0.6, …)` — CaseWhen
+    // branch values are excluded from Spark's subexpression elimination,
+    // so `base` (the big street tree) gets re-evaluated per occurrence
+    // and the "optimization" measured ~40% slower.
     val wholeString = jw(a1, a2) * (wNumber + wStreet) * 0.6
     val score = greatest(base, wholeString) + secondaryScore * wSecondary
 
