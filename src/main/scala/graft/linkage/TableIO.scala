@@ -27,6 +27,25 @@ object TableIO {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/data")
 
+  /** Bucketed write: pre-hash-partitions a table on its join key so every
+    * downstream equi-join on that key skips the shuffle of this side
+    * entirely (Exchange elided by EnsureRequirements). At 100 TB this is
+    * the difference between moving the fat records table per join and
+    * never moving it — bucket `records` by conv_id once at fold time,
+    * then pair-attribute joins (J7) stream bucket-local.
+    * Uses the session catalog (saveAsTable is how Spark persists bucket
+    * metadata); `database`.`name` table identifier. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** S10 analog (garble.py:82–93): resolve the newest timestamped table
     * under `dir` by lexicographic name (names carry sortable stamps,
     * e.g. pii-YYYYMMDD-HHMMSS). */
