@@ -31,16 +31,21 @@ object Queries {
         .orderBy(col("cnt").desc, col("o_orderpriority"))
         .limit(3)),
 
-    // TPC-H Q1-style pricing summary; decimal casts keep sums exact
+    // TPC-H Q1-style pricing summary; decimal casts keep sums exact.
+    // Final casts pin the sums to DuckDB's sum-over-DECIMAL(18,x) result
+    // width (38,x) — Spark's is (28,x) and the driver's hash covers the
+    // arrow type width, so matching values alone aren't enough.
     "q_agg_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 

@@ -4,17 +4,25 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication (training-data pipeline ops).
-  * All stages are pure DataFrame transforms — no UDFs — so every hash,
-  * min-aggregation and band join stays in whole-stage codegen and scales
-  * by partitioning alone:
+  * All stages are pure DataFrame transforms — no UDFs — and every
+  * signature (MinHash, SimHash) is a SHUFFLE-FREE per-row projection:
+  * round 1 computed them as 64 independent aggregate columns, which
+  * exploded codegen (1.4–2 MB task binaries) and planning time; round 2
+  * folds the k-hash loop into one `aggregate`/`zip_with` tree per row, so
+  * the only shuffles left are the band join and the verify joins.
   *
-  *  - exact:   hash-groupBy keep-min (one shuffle)
-  *  - MinHash: shingle → k seeded min-hashes → band → bucket self-join →
-  *             exact-Jaccard verification (classic LSH; false positives
-  *             killed by the verify stage, false negatives bounded by
-  *             (1-s^r)^b)
-  *  - SimHash: 64-bit sign-sum signature; near-dups via 4×16-bit band
-  *             join + bit_count(xor) Hamming verify
+  *  - exact:   hash-groupBy keep-min + join-back (one agg + one join;
+  *             AQE skew-join absorbs a mega-duplicate group — the round-1
+  *             collect_list(ids) materialized the whole group in a single
+  *             aggregation buffer, an OOM at web scale)
+  *  - MinHash: shingle → k seeded min-hashes (per-row) → band →
+  *             bucket self-join → exact-Jaccard verification (classic
+  *             LSH; false positives killed by the verify stage, false
+  *             negatives bounded by (1-s^r)^b)
+  *  - SimHash: 64-bit sign-sum signature (per-row); near-dups via
+  *             banded bucket join with bands DERIVED from maxDistance
+  *             (bands > maxDistance ⇒ pigeonhole-exact recall) +
+  *             bit_count(xor) Hamming verify
   *  - n-gram Jaccard: exact set overlap via explode + count joins
   */
 object Dedup {
@@ -22,16 +30,22 @@ object Dedup {
   // ---------- exact ----------
 
   /** Exact dedup: keep the smallest id per identical text.
-    * Returns (id, keeper, group_size). */
+    * Returns (id, keeper, group_size).
+    *
+    * Shape: groupBy(text_hash) → (keeper, group_size), then join the doc
+    * ids back on text_hash. The join-back replaces round 1's
+    * collect_list+explode: a degenerate duplicate group (billions of
+    * identical empty docs) becomes an AQE-splittable skewed join
+    * partition instead of one fat aggregation buffer. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val h = xxhash64(col(textCol))
-    docs.groupBy(h.as("text_hash"))
+    val groups = docs.groupBy(h.as("text_hash"))
       .agg(min(col(idCol)).as("keeper"),
-        count(lit(1)).as("group_size"),
-        sort_array(collect_list(col(idCol))).as("ids"))
-      .select(explode(col("ids")).as(idCol), col("keeper"),
-        col("group_size"))
+        count(lit(1)).as("group_size"))
+    docs.select(col(idCol), h.as("text_hash"))
+      .join(groups, Seq("text_hash"))
+      .select(col(idCol), col("keeper"), col("group_size"))
   }
 
   // ---------- shingling ----------
@@ -76,32 +90,43 @@ object Dedup {
       jaccardThreshold: Double = 0.7,
       seed: Long = 42L)
 
-  /** MinHash signatures: (id, sig: array<long> of numHashes mins).
-    * Each hash_i(shingle) = xxhash64(seed, i, shingle); one groupBy
-    * computes all k mins (map-side partial aggregation applies). */
-  def minHashSignatures(exploded: DataFrame, cfg: MinHashConfig,
-                        idCol: String = "doc_id"): DataFrame = {
-    val minExprs = (0 until cfg.numHashes).map(i =>
-      min(xxhash64(lit(cfg.seed), lit(i), col("shingle"))).as(s"mh_$i"))
-    exploded.groupBy(col(idCol))
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col(idCol),
-        array((0 until cfg.numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+  /** MinHash signatures: (id, sig: array<long> of numHashes mins),
+    * computed per row with NO shuffle: one `aggregate` over the shingle
+    * array whose accumulator is the running elementwise min of the k
+    * seeded hashes (hash_i(shingle) = xxhash64(seed, i, shingle), same
+    * values as round 1's 64 min-aggregate columns — duplicates among
+    * shingles can't change a min, so no distinct is needed).
+    *
+    * The shingle array is the aggregate's collection argument, evaluated
+    * once per row; the per-element work is k hashes + a zip_with min. */
+  def minHashSignatures(docs: DataFrame, cfg: MinHashConfig,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val k = cfg.numHashes
+    val sig = aggregate(
+      shingles(col(textCol), cfg.shingleSize),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, sh) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)),
+          i => xxhash64(lit(cfg.seed), i, sh)),
+        (a, h) => least(a, h)))
+    docs.select(col(idCol), sig.as("sig"))
   }
 
-  /** LSH band buckets: (band, bucket, id). r = numHashes/bands rows per
-    * band hashed together. */
+  /** LSH band buckets: (id, band, bucket). r = numHashes/bands rows per
+    * band hashed together. One pass over the signatures (posexplode of a
+    * per-row bucket array) — round 1 unioned `bands` separate selects,
+    * which re-executed the signature subtree per band. */
   def lshBuckets(signatures: DataFrame, cfg: MinHashConfig,
                  idCol: String = "doc_id"): DataFrame = {
     val r = cfg.numHashes / cfg.bands
     require(r * cfg.bands == cfg.numHashes, "bands must divide numHashes")
-    val bandRows = (0 until cfg.bands).map { b =>
-      val bandSlice = slice(col("sig"), b * r + 1, r)
-      signatures.select(lit(b).as("band"),
-        xxhash64(lit(b), concat_ws(",", bandSlice)).as("bucket"),
-        col(idCol))
-    }
-    bandRows.reduce(_ unionByName _)
+    val bandBuckets = transform(
+      sequence(lit(0), lit(cfg.bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))
+    signatures.select(col(idCol), posexplode(bandBuckets))
+      .toDF(idCol, "band", "bucket")
   }
 
   /** Candidate pairs from shared (band, bucket), a<b, deduped. */
@@ -144,13 +169,14 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, cfg: MinHashConfig = MinHashConfig(),
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // persist the fan-out points: exploded feeds the signatures AND both
-    // sides of the verify join; candidate pairs are consumed twice inside
-    // verify — without caching those subtrees re-execute per consumer
+    // persist the fan-out points: exploded feeds both sides of the verify
+    // join; candidate pairs are consumed twice inside verify — without
+    // caching those subtrees re-execute per consumer. Signatures are a
+    // single-consumer narrow projection now — nothing to cache there.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
       .persist(lvl)
-    val sigs = minHashSignatures(exploded, cfg, idCol).persist(lvl)
+    val sigs = minHashSignatures(docs, cfg, idCol, textCol)
     val cands = lshCandidates(lshBuckets(sigs, cfg, idCol), idCol)
       .persist(lvl)
     jaccardVerify(exploded, cands, idCol)
@@ -160,35 +186,70 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over word tokens: bit i = sign of Σ_tokens ±1 where
-    * the sign is bit i of xxhash64(token). Returns (id, simhash). */
+    * the sign is bit i of xxhash64(token). Returns (id, simhash).
+    *
+    * Per-row projection, NO shuffle: one `aggregate` over the token array
+    * carries a 64-int bit-counter accumulator; a final zip_with against a
+    * powers-of-two array ORs the sign bits together. Same values as
+    * round 1's 64 sum-aggregate columns. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val tokens = docs.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b_$i"))
-    val sums = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col(idCol), sig.as("simhash"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        // functions.shiftrightunsigned only takes an Int shift; the shift
+        // here is the lambda variable i, so resolve the SQL builtin
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(
+            call_function("shiftrightunsigned", h, i)
+              .bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1))
+      })
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val sig = aggregate(
+      zip_with(counts, powers,
+        (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (a, b) => a.bitwiseOR(b))
+    docs.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dups: pairs at Hamming distance ≤ maxDistance, found by
-    * joining on any of four 16-bit bands (exact for maxDistance ≤ 3 by
-    * pigeonhole) then verified with bit_count(xor). */
+  /** SimHash near-dups: ALL pairs at Hamming distance ≤ maxDistance.
+    *
+    * Bands are DERIVED from maxDistance: splitting the 64 bits into
+    * bands > maxDistance nearly-equal slices guarantees (pigeonhole) that
+    * any pair within distance shares at least one untouched band — exact
+    * recall at every configured distance, where round 1's fixed 4 bands
+    * were exact only for maxDistance ≤ 3 and silently under-recalled
+    * beyond. The bit_count(xor) verify kills band-collision false
+    * positives. Scale note: wider distances mean narrower buckets
+    * (64/(d+1) bits) and more candidate collisions — at web scale keep
+    * maxDistance ≤ 3 (16-bit buckets) or pre-partition by a coarse key. */
   def simHashNearDups(sigs: DataFrame, maxDistance: Int = 3,
-                      idCol: String = "doc_id"): DataFrame = {
-    val banded = (0 until 4).map(b =>
-      sigs.select(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16)
-          .bitwiseAND(lit(0xffffL)).as("bucket"),
-        col(idCol), col("simhash")))
-      .reduce(_ unionByName _)
-    val l = banded.toDF("band", "bucket", "id_a", "sh_a")
-    val r = banded.toDF("band_r", "bucket_r", "id_b", "sh_b")
+                      idCol: String = "doc_id", bands: Int = 0): DataFrame = {
+    val nBands = if (bands > 0) bands else maxDistance + 1
+    require(nBands > maxDistance,
+      s"pigeonhole exactness needs bands ($nBands) > maxDistance ($maxDistance)")
+    require(nBands >= 1 && nBands <= 64, "bands must be in [1, 64]")
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Column = if (w >= 64) lit(-1L) else lit((1L << w) - 1)
+    val bandBuckets = array((0 until nBands).map { b =>
+      shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(mask(widths(b)))
+    }: _*)
+    val banded = sigs
+      .select(col(idCol), col("simhash"), posexplode(bandBuckets))
+      .toDF(idCol, "simhash", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band").as("band_r"),
+      col("bucket").as("bucket_r"), col(idCol).as("id_b"),
+      col("simhash").as("sh_b"))
     l.join(r, col("band") === col("band_r") &&
         col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
-  val KeySep = ""
+  /** Field separator inside a concatenated block key: \u0001 cannot
+    * survive clean_string normalization into any blocked field, so
+    * distinct key tuples can never collide into one block (street=AB/
+    * number=C vs street=A/number=BC). Written as an escape — a literal
+    * control byte here was invisible to review. The reference blocks on
+    * column tuples (matching.py:401–405), which can't collide. */
+  val KeySep = "\u0001"
 
   case class Pass(name: String, keys: Seq[String])
 

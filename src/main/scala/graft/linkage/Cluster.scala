@@ -29,8 +29,14 @@ object Cluster {
     * attach singletons via [[labelRecords]]. */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
                           opts: Options = Options()): DataFrame = {
+    // fingerprint of the INPUT edge set, written into _cc_state.json with
+    // every round: resuming against a checkpoint dir whose state was
+    // computed from different edges must fall back to a fresh init, not
+    // silently emit the previous input's clusters
+    val inputSig: Option[(Long, Long)] =
+      opts.checkpointDir.map(_ => signature(normalize(edges)))
     var (cur, startIter) = opts.checkpointDir match {
-      case Some(dir) => resumeOrInit(spark, edges, dir)
+      case Some(dir) => resumeOrInit(spark, edges, dir, inputSig.get)
       case None => (normalize(edges), 0)
     }
     // a resumed state is already parquet-backed; re-persisting it would
@@ -44,7 +50,7 @@ object Cluster {
     while (!converged && iter < opts.maxIter) {
       val ls = largeStar(cur)
       val ss = smallStar(ls)
-      val next = persistRound(spark, ss, opts, iter)
+      val next = persistRound(spark, ss, opts, iter, inputSig)
       val sig = signature(next)
       converged = sig == prevSig
       prevSig = sig
@@ -110,12 +116,13 @@ object Cluster {
   }
 
   private def persistRound(spark: SparkSession, df: DataFrame,
-                           opts: Options, iter: Int): DataFrame =
+                           opts: Options, iter: Int,
+                           inputSig: Option[(Long, Long)]): DataFrame =
     opts.checkpointDir match {
       case Some(dir) if iter >= 0 =>
         val path = s"$dir/iter_$iter"
         df.write.mode("overwrite").parquet(path)
-        writeState(spark, dir, iter)
+        writeState(spark, dir, iter, inputSig.getOrElse((0L, 0L)))
         // a resumed run may overwrite a path cached by the session-shared
         // FileStatusCache — drop the stale listing before re-reading
         spark.catalog.refreshByPath(path)
@@ -124,18 +131,30 @@ object Cluster {
         df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
     }
 
-  private def writeState(spark: SparkSession, dir: String, iter: Int): Unit = {
+  private def writeState(spark: SparkSession, dir: String, iter: Int,
+                         sig: (Long, Long)): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$dir/_cc_state.json")
     val out = fs.create(p, true)
-    out.write(s"""{"last_completed_iter": $iter}""".getBytes("UTF-8"))
+    out.write(
+      (s"""{"last_completed_iter": $iter, """ +
+        s""""edges_count": ${sig._1}, "edges_hash": ${sig._2}}""")
+        .getBytes("UTF-8"))
     out.close()
   }
 
-  /** Resume from the last completed round if state exists. */
+  private def stateField(txt: String, key: String): Option[Long] =
+    (""""""" + key + """"\s*:\s*(-?\d+)""").r
+      .findFirstMatchIn(txt).map(_.group(1).toLong)
+
+  /** Resume from the last completed round iff state exists AND its stored
+    * input-edges fingerprint matches the current input — otherwise the
+    * checkpoint belongs to a different run and we must init fresh. State
+    * files without a fingerprint (pre-fingerprint format) never match. */
   private def resumeOrInit(spark: SparkSession, edges: DataFrame,
-                           dir: String): (DataFrame, Int) = {
+                           dir: String,
+                           inputSig: (Long, Long)): (DataFrame, Int) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val statePath = new org.apache.hadoop.fs.Path(s"$dir/_cc_state.json")
@@ -143,8 +162,12 @@ object Cluster {
       val in = fs.open(statePath)
       val txt = scala.io.Source.fromInputStream(in).mkString
       in.close()
-      val iter = "\\d+".r.findFirstIn(txt).map(_.toInt).getOrElse(-1)
-      if (iter >= 0 && fs.exists(
+      val iter = stateField(txt, "last_completed_iter")
+        .map(_.toInt).getOrElse(-1)
+      val sigMatches =
+        stateField(txt, "edges_count").contains(inputSig._1) &&
+          stateField(txt, "edges_hash").contains(inputSig._2)
+      if (sigMatches && iter >= 0 && fs.exists(
           new org.apache.hadoop.fs.Path(s"$dir/iter_$iter"))) {
         return (spark.read.parquet(s"$dir/iter_$iter"), iter + 1)
       }

@@ -67,10 +67,21 @@ object Extract {
         when(raw.isNull || trim(raw) === "", lit(d)).otherwise(raw)
       case None => coalesce(raw, lit("")) // empty-string nulls (P12)
     }
-    // value-mapping rewrite (P6): small maps become when-chains
-    val mapped = spec.valueMap.foldLeft(defaulted) {
-      case (acc, (from, to)) => when(acc === from, lit(to)).otherwise(acc)
-    }
+    // value-mapping rewrite (P6): ONE CaseWhen over the original value —
+    // the reference applies a single dict lookup per value
+    // (data_reader.py value_mapping_rules), so a rule's output must never
+    // feed a later rule (A→B, B→C maps A to B, not C), and Map iteration
+    // order must not matter (rules keyed on distinct `from` values commute)
+    val mapped =
+      if (spec.valueMap.isEmpty) defaulted
+      else {
+        val rules = spec.valueMap.toSeq.sortBy(_._1)
+        rules.tail
+          .foldLeft(when(defaulted === rules.head._1, lit(rules.head._2))) {
+            case (acc, (from, to)) => acc.when(defaulted === from, lit(to))
+          }
+          .otherwise(defaulted)
+      }
     cleaned(field, mapped, spec).as(field)
   }
 

@@ -45,10 +45,15 @@ object Fold {
   /** Derivation from (conv_id, turns, ts_min, ts_max). */
   private def derive(grouped: DataFrame): DataFrame = {
     val userTurns = filter(col("turns"), t => t.getField("role") === "user")
+    // try_element_at, not element_at: under ANSI mode (on in Spark 4) a
+    // conversation with zero user-role turns would throw
+    // INVALID_ARRAY_INDEX and kill the whole fold job; try_element_at
+    // nulls out and the coalesce folds it to "" — matching the streaming
+    // fold's (TranscriptStream.foldConv) graceful handling.
     val firstUser = coalesce(
-      normText(element_at(userTurns, 1).getField("text")), lit(""))
+      normText(try_element_at(userTurns, lit(1)).getField("text")), lit(""))
     val lastUser = coalesce(
-      normText(element_at(userTurns, -1).getField("text")), lit(""))
+      normText(try_element_at(userTurns, lit(-1)).getField("text")), lit(""))
     val toolSigCol = coalesce(
       array_join(
         array_sort(array_distinct(transform(

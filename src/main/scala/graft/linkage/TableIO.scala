@@ -67,6 +67,10 @@ object TableIO {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
     val files = listParquet(fs, dataPath)
+    // the session-shared FileStatusCache may hold the PREVIOUS overwrite's
+    // listing for this path — a second write of the same table in one
+    // session would otherwise read back stale files (or FILE_NOT_EXIST)
+    spark.catalog.refreshByPath(s"$path/data")
     val count = spark.read.parquet(s"$path/data").count()
     val filesJson = files.map(f =>
       s"""{"path": "${f._1}", "bytes": ${f._2}}""").mkString("[", ",", "]")

@@ -96,10 +96,11 @@ object Clk {
         while (i < padded.length - 1) {
           val gram = padded.substring(i, i + 2)
           val g = scala.util.hashing.MurmurHash3.stringHash(gram, secretSeed ^ f)
+          // double hashing: idx_h = g1 + h*g2 (Kirsch–Mitzenmacher);
+          // g2 depends only on (gram, field) — computed once per gram
+          val g2 = scala.util.hashing.MurmurHash3.productHash((g, f), secretSeed + 31)
           var h = 0
           while (h < K) {
-            // double hashing: idx_h = g1 + h*g2 (Kirsch–Mitzenmacher)
-            val g2 = scala.util.hashing.MurmurHash3.productHash((g, f), secretSeed + 31)
             val idx = java.lang.Math.floorMod(g + h * (g2 | 1), L)
             bits(idx >> 3) = (bits(idx >> 3) | (1 << (idx & 7))).toByte
             h += 1

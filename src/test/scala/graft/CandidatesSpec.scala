@@ -46,6 +46,40 @@ class CandidatesSpec extends AnyFunSuite with SparkFixture {
     assert(plain.forall { case (a, b) => a < b })
   }
 
+  test("block keys never collide across field boundaries") {
+    import spark.implicits._
+    // (street=AB, number=C) vs (street=A, number=BC): with an empty
+    // KeySep these concatenate identically and merge into one block —
+    // the separator must keep them apart (distinct tuples ⇒ no pairs)
+    val df = Seq(("r1", "AB", "C"), ("r2", "A", "BC"))
+      .toDF("conv_id", "street", "number")
+      .withColumn("household_zip", lit("Z"))
+      .withColumn("family_name", lit(""))
+      .withColumn("addr", struct(
+        col("number").as("number"), col("street").as("street"),
+        lit("").as("suffix"), lit("").as("prefix"),
+        lit("").as("value"),
+        concat_ws(" ", col("number"), col("street")).as("full")))
+    val collisionPass = Seq(Blocking.Pass("zsn",
+      Seq("household_zip", "addr.street", "addr.number")))
+    val pairs = Candidates.candidates(df, collisionPass,
+      Candidates.Config(ratioMax = 1.0, minBlockCap = 100))
+    assert(pairs.count() == 0,
+      "distinct (street, number) tuples must land in different blocks")
+    // and identical tuples still pair up
+    val same = Seq(("r1", "A", "B"), ("r2", "A", "B"))
+      .toDF("conv_id", "street", "number")
+      .withColumn("household_zip", lit("Z"))
+      .withColumn("family_name", lit(""))
+      .withColumn("addr", struct(
+        col("number").as("number"), col("street").as("street"),
+        lit("").as("suffix"), lit("").as("prefix"),
+        lit("").as("value"),
+        concat_ws(" ", col("number"), col("street")).as("full")))
+    assert(Candidates.candidates(same, collisionPass,
+      Candidates.Config(ratioMax = 1.0, minBlockCap = 100)).count() == 1)
+  }
+
   test("ratio cap drops oversized blocks entirely (2% rule analog)") {
     val df = recs(nHot = 60, nSmallBlocks = 5)
     // total = 75; cap at 40% → 30 rows: HOT (60) dropped, B* (3) kept

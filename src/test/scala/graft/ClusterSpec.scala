@@ -67,16 +67,33 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
       Cluster.Options(checkpointDir = Some(dir)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full == resumed)
-    // and a partial-state resume: delete the state file, keep round files,
-    // rewrite state to iter 0 → resume mid-computation
+    // and a partial-state resume: rewind the state to iter 0 (keeping the
+    // input fingerprint intact), keep round files → resume mid-computation
     val state = new java.io.File(s"$dir/_cc_state.json")
     // drop hadoop LocalFileSystem's checksum sidecar before tampering
     new java.io.File(s"$dir/._cc_state.json.crc").delete()
+    val stateTxt = java.nio.file.Files.readString(state.toPath)
     java.nio.file.Files.writeString(state.toPath,
-      """{"last_completed_iter": 0}""")
+      stateTxt.replaceAll(""""last_completed_iter":\s*\d+""",
+        "\"last_completed_iter\": 0"))
     val midResumed = Cluster.connectedComponents(spark, df,
       Cluster.Options(checkpointDir = Some(dir)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full == midResumed)
+  }
+
+  test("resume against a checkpoint from DIFFERENT edges re-inits fresh") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-stale").toString
+    val first = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    Cluster.connectedComponents(spark, first,
+      Cluster.Options(checkpointDir = Some(dir))).count()
+    // same checkpoint dir, different input: the stored fingerprint must
+    // not match, so the run re-inits instead of emitting stale clusters
+    val second = Seq((10L, 11L), (12L, 13L)).toDF("a", "b")
+    val labels = Cluster.connectedComponents(spark, second,
+      Cluster.Options(checkpointDir = Some(dir)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(11L -> 10L, 10L -> 10L, 13L -> 12L, 12L -> 12L))
   }
 }

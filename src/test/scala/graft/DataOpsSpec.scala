@@ -76,6 +76,42 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(found >= 8, s"only $found/10 one-edit pairs at hamming<=8")
   }
 
+  test("simhash banding is pigeonhole-EXACT at the configured distance") {
+    // brute-force ground truth: every pair within hamming <= d must be
+    // found — bands are derived as d+1, so any distance is exact (round 1
+    // hard-coded 4 bands, exact only for d <= 3)
+    val sigs = Dedup.simHash(corpus)
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (d <- Seq(3, 8)) {
+      val truth = (for {
+        (ia, sa) <- sigMap; (ib, sb) <- sigMap if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= d
+      } yield (ia, ib)).toSet
+      val found = Dedup.simHashNearDups(sigs, maxDistance = d)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == truth,
+        s"d=$d: missed ${truth -- found}, extra ${found -- truth}")
+    }
+  }
+
+  test("exact dedup survives one degenerate mega-duplicate group") {
+    import spark.implicits._
+    // 100k identical empty docs + 5 distinct: the round-1 collect_list
+    // materialized the whole group in a single aggregation buffer; the
+    // join-back shape must return every id with the right keeper/size
+    val mega = spark.range(100000).select(col("id").as("doc_id"),
+      lit("").as("text"))
+    val distinctDocs = Seq((200001L, "x"), (200002L, "y"), (200003L, "z"),
+      (200004L, "w"), (200005L, "v")).toDF("doc_id", "text")
+    val out = Dedup.exact(mega.unionByName(distinctDocs))
+    assert(out.count() == 100005L)
+    val megaRows = out.filter(col("group_size") === 100000L)
+    assert(megaRows.count() == 100000L)
+    assert(megaRows.filter(col("keeper") =!= 0L).count() == 0L)
+    assert(out.filter(col("group_size") === 1L).count() == 5L)
+  }
+
   test("ngram jaccard verification is exact") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"),

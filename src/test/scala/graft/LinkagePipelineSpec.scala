@@ -38,6 +38,21 @@ class LinkagePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bad == 0)
   }
 
+  test("fold survives conversations with zero user turns (ANSI mode)") {
+    import spark.implicits._
+    // under Spark 4 ANSI, element_at on the empty user-turn array would
+    // throw INVALID_ARRAY_INDEX; the fold must instead derive "" — the
+    // same semantics as the streaming fold
+    val ts0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val noUser = Seq(
+      ("conv_nouser", 0, "assistant", "hello there", "", ts0),
+      ("conv_nouser", 1, "tool", "result", "search", ts0))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val rec = Fold.fold(noUser)
+      .select("conv_id", "family_name", "given_name").head()
+    assert(rec.getString(1) == "" && rec.getString(2) == "")
+  }
+
   test("fold derives blocking-stable fields for garbled duplicates") {
     val records = Fold.fold(transcripts).cache()
     // a seed and its garble share household_zip (same-day jitter)

@@ -46,6 +46,22 @@ class StagesSpec extends AnyFunSuite with SparkFixture {
     assert(Extract.metadata(out) == Extract.metadata(Extract.extract(src, conf)))
   }
 
+  test("value mapping is a single dict lookup, not a rewrite cascade") {
+    import spark.implicits._
+    // overlapping rules A→B, B→C: the reference applies ONE lookup per
+    // value, so A maps to B (never cascades to C) and B maps to C —
+    // regardless of Map iteration order
+    val src = Seq(("r1", "A"), ("r2", "B"), ("r3", "X"))
+      .toDF("PatID", "Gender")
+    val conf = Extract.TranslationConfig(Map(
+      "record_id" -> Extract.FieldSpec(Seq("patid")),
+      "sex" -> Extract.FieldSpec(Seq("gender"),
+        valueMap = Map("A" -> "B", "B" -> "C"))))
+    val out = Extract.extract(src, conf).select("record_id", "sex")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("r1" -> "B", "r2" -> "C", "r3" -> "X"))
+  }
+
   test("garble: secret validation, subkey derivation, clk determinism") {
     intercept[IllegalArgumentException](Garble.validateSecret("xyz"))
     intercept[IllegalArgumentException](Garble.validateSecret("abc123"))
