@@ -117,16 +117,18 @@ object Queries {
         .orderBy(col("o_custkey"))
     }),
 
-    // J4/W2: positional join via row_number (linkid_to_patid.py:84–90)
+    // J4/W2: positional join (linkid_to_patid.py:84–90) — via the
+    // scale-safe Positions helper; the DuckDB oracle is a global
+    // row_number, so this query PROVES the distributed position
+    // assignment is row_number-equivalent
     "q_positional_join" -> ((s, dir) => {
-      val n = t(s, dir, "nation")
-        .withColumn("pos",
-          row_number().over(Window.orderBy(col("n_name"))) - 1)
-      val r = t(s, dir, "region")
-        .withColumn("pos",
-          row_number().over(Window.orderBy(col("r_name"))) - 1)
-      n.join(r, Seq("pos"))
-        .select(col("pos"), col("n_name"), col("r_name"))
+      val n = graft.linkage.Positions.withPosition(
+        t(s, dir, "nation"), col("n_name"), "pos_l")
+      val r = graft.linkage.Positions.withPosition(
+        t(s, dir, "region"), col("r_name"), "pos_r")
+      n.join(r, col("pos_l") === col("pos_r"))
+        .select(col("pos_l").cast("int").as("pos"),
+          col("n_name"), col("r_name"))
         .orderBy(col("pos"))
     }),
 

@@ -1,7 +1,6 @@
 package graft.linkage
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 /** Cluster assembly + reference-shaped outputs and resolve joins
@@ -32,27 +31,23 @@ object Output {
         col("rep.household_street_address"), col("rep.household_zip"))
 
   /** Reference-shaped mapping file (HOUSEHOLD_POSITION, PII_POSITIONS) —
-    * positions reconstructed ONLY at this tiny output edge via global
-    * row_number (W2 semantics, households.py:190–193). `labeled` must
-    * carry conv_id + cluster_id. */
+    * positions assigned by [[Positions.withPosition]] (scale-safe W2:
+    * identical to a global row_number, households.py:190–193, without
+    * moving the corpus to one partition). `labeled` must carry conv_id +
+    * cluster_id. */
   def mappingFile(labeled: DataFrame): DataFrame = {
-    val pos = labeled
-      .withColumn("position",
-        row_number().over(W.orderBy(col("conv_id"))) - 1)
+    val pos = Positions.withPosition(labeled, col("conv_id"), "position")
     val hh = pos.groupBy(col("cluster_id"))
       .agg(sort_array(collect_list(col("position"))).as("positions"))
-      .withColumn("HOUSEHOLD_POSITION",
-        row_number().over(W.orderBy(col("cluster_id"))) - 1)
-    hh.select(col("HOUSEHOLD_POSITION"),
-      concat_ws(",", col("positions")).as("PII_POSITIONS"))
+    Positions.withPosition(hh, col("cluster_id"), "HOUSEHOLD_POSITION")
+      .select(col("HOUSEHOLD_POSITION"),
+        concat_ws(",", col("positions")).as("PII_POSITIONS"))
   }
 
   /** J4: LINK_ID → record id via positional join (linkid_to_patid.py:84–90;
     * the +1 header offset collapses to equal row_number bases). */
   def resolveLinks(links: DataFrame, orderedIds: DataFrame): DataFrame = {
-    val pos = orderedIds
-      .withColumn("position",
-        row_number().over(W.orderBy(col("conv_id"))) - 1)
+    val pos = Positions.withPosition(orderedIds, col("conv_id"), "position")
     links.join(pos, Seq("position"))
       .select(col("LINK_ID"), col("conv_id").as("PATID"))
   }
@@ -70,11 +65,11 @@ object Output {
     * `household_pos_pid` = (household_position, pid) one row per
     * household with the representative's id. */
   def scoringFiles(labeled: DataFrame): (DataFrame, DataFrame) = {
-    val hh = labeled.groupBy(col("cluster_id"))
+    val agg = labeled.groupBy(col("cluster_id"))
       .agg(sort_array(collect_list(col("conv_id"))).as("members"),
         min(col("conv_id")).as("rep"))
-      .withColumn("household_position",
-        row_number().over(W.orderBy(col("cluster_id"))) - 1)
+    val hh = Positions.withPosition(agg, col("cluster_id"),
+      "household_position")
     val perMember = hh.select(col("household_position"),
       explode(col("members")).as("pid"))
     val perHousehold = hh.select(col("household_position"),

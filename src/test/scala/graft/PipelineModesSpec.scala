@@ -57,9 +57,11 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
     val labeled = Seq(("a", "k1"), ("b", "k1"), ("c", "k2"))
       .toDF("conv_id", "cluster_id")
     val (perMember, perHousehold) = Output.scoringFiles(labeled)
-    val pm = perMember.collect().map(r => (r.getInt(0), r.getString(1))).toSet
-    assert(pm == Set((0, "a"), (0, "b"), (1, "c")))
-    val ph = perHousehold.collect().map(r => (r.getInt(0), r.getString(1))).toSet
-    assert(ph == Set((0, "a"), (1, "c")))
+    // positions are long now (scale-safe assignment; int overflows at
+    // cluster counts past 2^31)
+    val pm = perMember.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pm == Set((0L, "a"), (0L, "b"), (1L, "c")))
+    val ph = perHousehold.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ph == Set((0L, "a"), (1L, "c")))
   }
 }

@@ -65,6 +65,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"cartesian product in candidate join:\n$plan")
   }
 
+  test("positions: row_number-identical values, no global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5000 shuffled keys across many partitions
+    val df = spark.range(5000)
+      .select(concat(lit("k"), format_string("%06d",
+        pmod(col("id") * 2654435761L, lit(5000)))).as("conv_id"))
+      .distinct()
+      .repartition(16)
+    val scalable = Positions.withPosition(df, col("conv_id"), "pos")
+      .select("conv_id", "pos")
+    val windowed = df.withColumn("pos",
+      (row_number().over(Window.orderBy(col("conv_id"))) - 1).cast("long"))
+    assert(scalable.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(scalable).isEmpty)
+    // the plan must not contain a Window at all (the single-partition
+    // global sort was round 1's scale-killer at the output edges)
+    assert(!planOf(scalable).contains("Window"),
+      s"global window leaked into positions plan")
+    // same for the output-edge consumers
+    val labeled = df.withColumn("cluster_id", substring(col("conv_id"), 1, 4))
+      .withColumn("family_name", lit("F"))
+      .withColumn("phone_number", lit(""))
+      .withColumn("household_zip", lit("Z"))
+      .withColumn("addr", struct(lit("").as("number"), lit("").as("street"),
+        lit("").as("suffix"), lit("").as("prefix"), lit("").as("value"),
+        lit("x").as("full")))
+    assert(!planOf(Output.mappingFile(labeled)).contains("Window"))
+  }
+
   test("fold is a single-shuffle aggregation (no window, no sort)") {
     val t = SynthTranscripts
       .transcripts(spark, SynthTranscripts.Config(nConvs = 50)).toDF
