@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *     [--pairsfile <parquet>]    pre-computed matched pairs
   *     [--secret <hex>]           emit household CLKs (garble stage)
   *     [--testrun]                emit the scoring files
+  *     [--buckets <n>]            persist records conv_id-bucketed (n
+  *                                buckets) so pair-attribute joins never
+  *                                shuffle the record structs
   *     [--synthetic <nConvs>]     generate a synthetic corpus instead of
   *                                reading --input
   *
@@ -69,7 +72,9 @@ object LinkageMain {
       ccOptions = Cluster.Options(checkpointDir = opts.get("checkpoint")),
       metricsPath = Some(s"$out/metrics"),
       exactAddresses = opts.contains("exact-addresses"),
-      pairsFile = opts.get("pairsfile"))
+      pairsFile = opts.get("pairsfile"),
+      bucketedRecords = opts.get("buckets")
+        .map(n => ("graft_records_bucketed", n.toInt)))
     val result = Pipeline.run(spark, transcripts, cfg)
 
     TableIO.write(result.records.drop("turns"), s"$out/records")

@@ -28,7 +28,16 @@ object Pipeline {
       exactAddresses: Boolean = false,
       /** pre-computed matched pairs (households.py --pairsfile): skip
         * blocking + scoring entirely. */
-      pairsFile: Option[String] = None)
+      pairsFile: Option[String] = None,
+      /** (tableName, numBuckets): persist the folded records (minus the
+        * fat turns array) as a conv_id-bucketed catalog table and run the
+        * pair-attribute joins (J7) against it. The bucketed side joins
+        * with NO Exchange — at 100 TB the pairs relation scales with the
+        * corpus, broadcasting it stops being possible, and the records
+        * structs must not move; bucketing moves them exactly once, at
+        * write time. Off by default: below broadcast scale the in-memory
+        * path is faster (no table write). */
+      bucketedRecords: Option[(String, Int)] = None)
 
   case class Result(
       records: DataFrame,
@@ -44,11 +53,21 @@ object Pipeline {
     val records = Fold.fold(transcripts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // optional shuffle-free attribute side: write the folded records once,
+    // bucketed on the join key; every equi-join on conv_id then reads the
+    // table bucket-local (EnsureRequirements elides the Exchange)
+    val attrSide = cfg.bucketedRecords match {
+      case Some((table, buckets)) =>
+        TableIO.writeBucketed(records.drop("turns"), table, "conv_id", buckets)
+        TableIO.readTable(spark, table)
+      case None => records
+    }
+
     val passes = if (cfg.exactAddresses) Blocking.exactPasses else cfg.passes
     val pairs = cfg.pairsFile match {
       case Some(path) => // S9-style pre-computed pairs, skip candidates
         spark.read.parquet(path).toDF("id_a", "id_b")
-      case None => Candidates.candidates(records, passes, cfg.candidates)
+      case None => Candidates.candidates(attrSide, passes, cfg.candidates)
     }
     val (scored, matched) =
       if (cfg.pairsFile.isDefined || cfg.exactAddresses) {
@@ -56,7 +75,7 @@ object Pipeline {
         // [zip, address] (matching.py:333–335) — no similarity scoring
         (pairs, pairs)
       } else {
-        val sc = Scoring.scorePairs(records, pairs)
+        val sc = Scoring.scorePairs(attrSide, pairs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (sc, Scoring.matches(sc))
       }

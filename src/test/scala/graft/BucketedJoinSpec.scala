@@ -43,4 +43,55 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
       s"scan not bucketed:\n$plan")
     spark.sql("DROP TABLE IF EXISTS records_bucketed")
   }
+
+  test("pipeline bucketed path: scorePairs never exchanges the records side") {
+    import spark.implicits._
+    import graft.linkage.{Pipeline, Scoring, Candidates, Blocking}
+    for (t <- Seq("records_sc_bucketed", "graft_records_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val transcripts = SynthTranscripts
+      .transcripts(spark, SynthTranscripts.Config(nConvs = 300)).toDF
+    // end-to-end: the Config flag produces identical clusters
+    val plain = Pipeline.run(spark, transcripts)
+    val bucketedRun = Pipeline.run(spark, transcripts,
+      Pipeline.Config(bucketedRecords = Some(("records_sc_bucketed", 8))))
+    val a = plain.labeledRecords.select("conv_id", "cluster_id")
+    val b = bucketedRun.labeledRecords.select("conv_id", "cluster_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // plan gate: at scale pairs can't broadcast — force shuffle joins and
+    // assert only the PAIRS side exchanges (the at-scale regime the
+    // round-1 comment deferred to AQE broadcasting)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val recs = TableIO.readTable(spark, "records_sc_bucketed")
+      val pairs = Candidates.candidates(recs, Blocking.defaultPasses)
+        .persist()
+      pairs.count()
+      val scored = Scoring.scorePairs(recs, pairs)
+      scored.collect()
+      val plan = scored.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // two attribute joins (a-side, b-side) — each may exchange only the
+      // pairs relation, never the bucketed records scans
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"records side shuffled:\n$plan")
+      assert("Bucketed: true".r.findAllIn(plan).length >= 2,
+        s"expected two bucketed scans:\n$plan")
+      pairs.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      for (t <- Seq("records_sc_bucketed", "graft_records_bucketed"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
