@@ -57,6 +57,17 @@ object Queries {
         .orderBy(col("cnt").desc, col("user_id"))
         .limit(100)),
 
+    // A2 guard arithmetic (data_analysis.py:46–50): duplicate ids are
+    // reported only when 0 < dups < 20% of uniques — the Analyze PII guard
+    "q_dup_guard" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("uniq"),
+          count(when(col("cnt") > 1, 1)).as("dups"))
+        .select(col("uniq"), col("dups"),
+          (col("dups") > 0 && col("dups") < col("uniq") * 0.2)
+            .as("report_dups"))),
+
     // A3: min/max/missing (data_analysis.py:52–58)
     "q_minmax_missing" -> ((s, dir) =>
       t(s, dir, "orders").agg(
@@ -469,6 +480,15 @@ object Queries {
       """SELECT user_id, count(*) AS cnt FROM events
          GROUP BY user_id HAVING count(*) > 1
          ORDER BY cnt DESC, user_id LIMIT 100""",
+
+    "q_dup_guard" ->
+      """SELECT uniq, dups,
+           (dups > 0 AND dups < uniq * 0.2) AS report_dups
+         FROM (SELECT count(*) AS uniq,
+                 CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dups
+               FROM (SELECT user_id, count(*) AS cnt
+                     FROM events GROUP BY 1))""",
 
     "q_minmax_missing" ->
       """SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,

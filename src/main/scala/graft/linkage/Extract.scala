@@ -32,6 +32,34 @@ object Extract {
 
   case class TranslationConfig(fields: Map[String, FieldSpec])
 
+  /** Translation-config validation (utils/validate.py:14–32): reject
+    * malformed configs BEFORE extraction instead of silently defaulting.
+    * Returns the issue list (empty = valid):
+    *  - unknown target fields (not in HEADER) — typos in a config would
+    *    otherwise be ignored and the field silently blank;
+    *  - a mapped field with neither sources nor a default
+    *    ("no target column or default value specified for field: X");
+    *  - DOB mapped without a date ingest format
+    *    ("No date ingest format specified"). */
+  def validateConfig(conf: TranslationConfig): Seq[String] = {
+    val unknown = conf.fields.keys.filterNot(Header.contains).toSeq.sorted
+      .map(f => s"unknown field: $f")
+    val missing = Header.filterNot(_ == "record_id").flatMap { f =>
+      conf.fields.get(f) match {
+        case Some(spec) if spec.sources.nonEmpty || spec.default.nonEmpty =>
+          None
+        case _ =>
+          Some(s"no target column or default value specified for field: $f")
+      }
+    }
+    val dateFmt = conf.fields.get("DOB") match {
+      case Some(spec) if spec.sources.nonEmpty && spec.dateFormat.isEmpty =>
+        Seq("No date ingest format specified")
+      case _ => Nil
+    }
+    unknown ++ missing ++ dateFmt
+  }
+
   /** Case-insensitive source column resolution (map_key,
     * data_reader.py:117–125). */
   private def resolve(df: DataFrame, name: String): Option[Column] =
@@ -131,10 +159,16 @@ object Extract {
     val json = meta.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": "$v"""" }
       .mkString("{", ", ", "}")
+    writeRaw(spark, json, path)
+  }
+
+  /** Small sidecar document write through the Hadoop FS (works for any
+    * supported scheme — local, HDFS, object stores). */
+  def writeRaw(spark: SparkSession, content: String, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
-    out.write(json.getBytes("UTF-8"))
+    out.write(content.getBytes("UTF-8"))
     out.close()
   }
 

@@ -104,6 +104,63 @@ object Garble {
     all.join(keep, Seq("block_key"), "left_semi")
   }
 
+  /** Parse a linkage-schema JSON document: {"fields": ["family_name",…],
+    * "hashType": "blakeHash"} (the anonlink-schema analog the multi-schema
+    * flow iterates over). */
+  def readSchema(spark: SparkSession, path: String): ClkSchema = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val fields = """"fields"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    val hashType = """"hashType"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("blakeHash")
+    // the reference refuses ANY schema file mentioning doubleHash
+    // (garble.py:128–133) before hashing a single record
+    require(!txt.contains("doubleHash"),
+      s"schema uses doubleHash, which is insecure: $path")
+    ClkSchema(fields, hashType)
+  }
+
+  /** Multi-schema garble flow (garble.py:82–157): iterate every *.json
+    * schema under `schemaDir`, CLK-encode the records once per schema
+    * into `outDir/<schema-name>/`, stamp `garble_time` into the metadata
+    * document (written alongside), validate each CLK table's row count
+    * against metadata.number_of_records (validate_clks, garble.py:63–74),
+    * and package everything into `<outDir>.zip`. `garbleTime` is
+    * caller-injected (the reference stamps datetime.now(); deterministic
+    * runs are a documented deviation, SURVEY.md §7.5). Returns the list
+    * of written CLK table paths. */
+  def garbleFlow(records: DataFrame, schemaDir: String, secret: String,
+                 outDir: String, metadata: Map[String, String],
+                 garbleTime: String): Seq[String] = {
+    val spark = records.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(schemaDir), spark.sparkContext.hadoopConfiguration)
+    val schemaPaths = fs.listStatus(
+        new org.apache.hadoop.fs.Path(schemaDir)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    require(schemaPaths.nonEmpty, s"no *.json schema under $schemaDir")
+    val expected = metadata.get("number_of_records").map(_.toLong)
+    val clkDirs = schemaPaths.map { p =>
+      val schema = readSchema(spark, p.toString)
+      val dir = s"$outDir/${p.getName.stripSuffix(".json")}"
+      writeClksJson(clks(records, schema, secret), dir)
+      val written = spark.read.json(dir).count()
+      expected.foreach(e => require(written == e,
+        s"Expected $e in $dir, found $written"))
+      dir
+    }
+    Extract.writeMetadata(spark,
+      metadata + ("garble_time" -> garbleTime), s"$outDir/metadata.json")
+    zipDirectory(spark, outDir, s"$outDir.zip")
+    clkDirs
+  }
+
   /** S7: zip packaging (driver-side java.util.zip, garble.py:151–157) —
     * bundles the shard files under `dir` into one zip. */
   def zipDirectory(spark: SparkSession, dir: String, zipPath: String): Unit = {

@@ -175,6 +175,111 @@ class StagesSpec extends AnyFunSuite with SparkFixture {
     assert(mm.getString(0) == "" && mm.getString(1) == "Y33")
   }
 
+  test("multi-schema garble flow: per-schema CLKs, garble_time, zip") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("garble").toString
+    val schemaDir = s"$base/schemas"; val outDir = s"$base/output"
+    new java.io.File(schemaDir).mkdirs()
+    def w(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$schemaDir/$name"), body)
+    w("name-dob.json",
+      """{"fields": ["family_name", "given_name"], "hashType": "blakeHash"}""")
+    w("addr.json",
+      """{"fields": ["household_street_address"], "hashType": "blakeHash"}""")
+    val records = Seq(("c1", "SMITH", "ANA", "1 MAIN ST"),
+      ("c2", "KING", "BEN", "2 ELM AVE"))
+      .toDF("conv_id", "family_name", "given_name",
+        "household_street_address")
+    val secret = "0123456789abcdef0123456789abcdef"
+    val meta = Map("number_of_records" -> "2")
+    val clkDirs = Garble.garbleFlow(records, schemaDir, secret, outDir,
+      meta, garbleTime = "2026-08-16T00:00:00")
+    assert(clkDirs.size == 2)
+    clkDirs.foreach(d => assert(spark.read.json(d).count() == 2))
+    val metaBack = Extract.readMetadata(spark, s"$outDir/metadata.json")
+    assert(metaBack("garble_time") == "2026-08-16T00:00:00")
+    assert(metaBack("number_of_records") == "2")
+    assert(new java.io.File(s"$outDir.zip").length() > 0)
+    // a doubleHash schema in the directory aborts the whole flow
+    w("bad.json", """{"fields": ["sex"], "hashType": "doubleHash"}""")
+    intercept[IllegalArgumentException](
+      Garble.garbleFlow(records, schemaDir, secret, s"$base/out2", meta,
+        "2026-08-16T00:00:00"))
+    // row-count validation trips when metadata disagrees
+    new java.io.File(s"$schemaDir/bad.json").delete()
+    intercept[IllegalArgumentException](
+      Garble.garbleFlow(records, schemaDir, secret, s"$base/out3",
+        Map("number_of_records" -> "5"), "2026-08-16T00:00:00"))
+  }
+
+  test("config validation rejects malformed translation configs") {
+    import graft.linkage.Extract.{FieldSpec, TranslationConfig}
+    val good = graft.sources.Sources.DataDictionary.v2.fields +
+      ("DOB" -> FieldSpec(Seq("birth_date"), dateFormat = Some("yyyy-MM-dd")))
+    assert(Extract.validateConfig(TranslationConfig(good)).isEmpty)
+    val issues = Extract.validateConfig(TranslationConfig(Map(
+      "given_nam" -> FieldSpec(Seq("first")), // typo → unknown field
+      "DOB" -> FieldSpec(Seq("birth_date")), // no date format
+      "sex" -> FieldSpec()))) // neither sources nor default
+    assert(issues.exists(_.contains("unknown field: given_nam")))
+    assert(issues.contains("No date ingest format specified"))
+    assert(issues.exists(_.contains("for field: sex")))
+    assert(issues.exists(_.contains("for field: family_name")))
+  }
+
+  test("analyze report: structure, century parse, and PII guards") {
+    import spark.implicits._
+    // 10 records; record_id r1 duplicated (1 dup < 20% of 9 uniques);
+    // SMITH appears 3x (reportable), JONES 2x (guarded out); yymmdd DOBs
+    val rows = Seq(
+      ("r1", "AL", "SMITH", "450102", "M", "5551234", "1 MAIN ST", "02139"),
+      ("r1", "BO", "SMITH", "561130", "F", "5551235", "2 ELM AVE", "02139"),
+      ("r2", "CY", "SMITH", "290704", "M", "", "3 OAK RD", "02140"),
+      ("r3", "DI", "JONES", "121212", "F", "5550000", "4 MAIN ST", "02141"),
+      ("r4", "ED", "JONES", "", "M", "5550001", "5 ELM AVE", "02139"),
+      ("r5", "FLO", "MILLER", "991231", "F", "5550002", "6 OAK RD", "02142"),
+      ("r6", "GUS", "BAKER", "000229", "M", "5550003", "7 MAIN ST", "02139"),
+      ("r7", "HAL", "CLARK", "750615", "M", "5550004", "8 ELM AVE", "02143"),
+      ("r8", "IVY", "DAVIS", "850101", "F", "5550005", "9 OAK RD", "02139"),
+      ("r9", "JAN", "EVANS", "200505", "F", "5550006", "10 MAIN ST", "02144"))
+      .toDF("record_id", "given_name", "family_name", "DOB", "sex",
+        "phone_number", "household_street_address", "household_zip")
+    val (stats, raw) = Analyze.analyze(rows)
+    assert(stats("number_of_rows") == 10L)
+    assert(stats("total_unique_record_ids") == 9L)
+    assert(stats("record_ids_with_duplicates") == 1L)
+    // dup guard passes (1 < 0.2*9): the dup id is reported with its count
+    assert(raw("duplicate_record_ids") ==
+      scala.collection.immutable.ListMap("r1" -> 2L))
+    // century inference: 99→1999, 00→2000, 29→2029, 12→2012
+    val dob = stats("dob").asInstanceOf[Map[String, Any]]
+    assert(dob("missing") == 1L)
+    assert(dob("min_parsed") == "1945-01-02")
+    assert(dob("max_parsed") == "2029-07-04")
+    // min-count guard: SMITH (3x) reported, JONES (2x) suppressed
+    val fams = raw("top_10_family_names").asInstanceOf[Map[String, Any]]
+    assert(fams == scala.collection.immutable.ListMap("SMITH" -> 3L))
+    // formats masked
+    val zf = stats("zip_format").asInstanceOf[Map[String, Any]]
+    assert(zf.keySet == Set("#####"))
+    val summaries = stats("field_summaries").asInstanceOf[Map[String, Any]]
+    assert(summaries.keySet.size == 5)
+    val phone = summaries("phone_number").asInstanceOf[Map[String, Any]]
+    assert(phone("missing") == 1L)
+    // and the dup guard FAILS when dups >= 20% of uniques
+    val dupHeavy = rows.unionByName(rows.limit(4))
+    val (_, rawHeavy) = Analyze.analyze(dupHeavy)
+    assert(!rawHeavy.contains("duplicate_record_ids"))
+    // reports render to valid-shape JSON documents
+    val dir = java.nio.file.Files.createTempDirectory("analyze").toString
+    val (sp, rp) = Analyze.writeReports(rows, dir)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(sp))
+      .startsWith("{\"number_of_rows\": 10"))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(rp))
+      .contains("duplicate_record_ids"))
+  }
+
   test("zip roundtrip: clk json sink → zip → zip-member csv scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-zip").toString
