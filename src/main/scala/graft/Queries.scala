@@ -357,23 +357,33 @@ object Queries {
             .as("n_bpeish"))
         .orderBy(col("doc_id"))),
 
-    // ---- rows-only checks (engine-specific hashing; no DuckDB oracle) ----
-
-    // MinHash+LSH near-dup detection over documents + planted garbles
+    // MinHash+LSH near-dup detection over documents + planted garbles,
+    // output restricted to the planted pairs: the DuckDB oracle computes
+    // their EXACT shingle-set Jaccard, so a row matches only if (a) LSH
+    // recalled the pair and (b) the verify-stage Jaccard is exact —
+    // an end-to-end value oracle for the whole minhash pipeline.
+    // (Full-corpus near-dup output stays covered by DataOpsSpec; corpus
+    // pairs at s≈0.5 have no recall guarantee and can't be oracle'd.)
     "q_minhash_neardups" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
-      // r=8 rows/band: planted one-word garbles sit at s≈0.99 (caught
-      // w.p. ~1), while the shared-vocabulary corpus pairs (s≈0.3) get
-      // s^8≈7e-5 per band — keeps the verify join linear, not quadratic
+      // r=8 rows/band: planted one-word garbles sit at s ≥ 0.8 (all 50
+      // caught at sf0.01, deterministic under the fixed seed), while the
+      // shared-vocabulary corpus pairs (s≈0.3) get s^8≈7e-5 per band —
+      // keeps the verify join linear, not quadratic
       graft.data.Dedup.minHashNearDups(docs.unionByName(planted),
         graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.5))
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("id_a") < 50 && col("id_b") === col("id_a") + 100000)
+        .orderBy(col("id_a"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
           .as("jaccard"))
     }),
+
+    // ---- rows-only checks (no DuckDB oracle): simhash + the two ANN
+    // scale paths (hash-bucketed recall has no cross-engine ground truth
+    // — DataOpsSpec carries planted-recall tests) + multimodal ----
 
     // SimHash near-dup detection, same planted-garble construction
     "q_simhash_neardups" -> ((s, dir) => {
@@ -409,22 +419,26 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // language-ID heuristic over documents
+    // language-ID heuristic over documents (oracle: the same stopword
+    // argmax with alphabetical tie-break, replicated in DuckDB)
     "q_lang_guess" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           graft.data.TextAnalysis.langGuess(col("text")).as("lang_guess"))
         .orderBy(col("doc_id"))),
 
-    // quality-score features over documents
+    // quality-score features over documents (oracle: formula in SQL)
     "q_quality_features" -> ((s, dir) =>
       graft.data.TextAnalysis.qualityFeatures(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("quality_score"))
         .orderBy(col("doc_id"))),
 
-    // winnowing-style fingerprints over documents
+    // winnowing-style fingerprints over documents — md5 hash variant so
+    // DuckDB can recompute the min-5-gram fingerprint value-for-value
+    // (the default xxhash64 variant is the at-scale path, DataOpsSpec)
     "q_fingerprints" -> ((s, dir) =>
-      graft.data.TextAnalysis.fingerprints(t(s, dir, "documents"))
+      graft.data.TextAnalysis.fingerprints(t(s, dir, "documents"),
+          hash = md5(_))
         .select(col("doc_id"), col("content_hash"), col("min_gram_fp"))
         .orderBy(col("doc_id"))),
 
@@ -677,6 +691,103 @@ object Queries {
            round(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2
          FROM embeddings ORDER BY vec_id""",
+
+    "q_minhash_neardups" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         pl AS (SELECT doc_id + 100000 AS doc_id,
+                  regexp_replace(text, '^\S+', 'PLANTED') AS text FROM base),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, len(toks) - 2)]
+                  ELSE [trim(text)] END) AS s
+                FROM (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))),
+         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+               FROM sh a JOIN sh b
+                 ON b.doc_id = a.doc_id + 100000 AND a.doc_id < 50)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+         WHERE jac >= 0.5 ORDER BY id_a""",
+
+    "q_lang_guess" ->
+      """SELECT doc_id, lang,
+           CASE WHEN 2 * length(regexp_replace(text,
+                  '[^\x{4e00}-\x{9fff}]', '', 'g')) > length(text) THEN 'zh'
+                WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+         FROM (SELECT doc_id, lang, text,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','and','of','to','in','is','that','it','for'], x)))
+               AS h_en,
+             len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','zu','mit','den'],
+               x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(
+               ['le','la','les','et','est','un','une','des','que','pour'],
+               x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains(
+               ['el','la','los','y','es','un','una','que','de','por'], x)))
+               AS h_es
+           FROM (SELECT doc_id, lang, text,
+                   list_transform(regexp_split_to_array(trim(text), '\s+'),
+                     x -> lower(x)) AS toks
+                 FROM documents))
+         ORDER BY doc_id""",
+
+    "q_quality_features" ->
+      """SELECT doc_id, n_tokens,
+           round((CASE WHEN n_tokens BETWEEN 10 AND 5000
+                  THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+             + (CASE WHEN ttr BETWEEN 0.2 AND 0.95
+                THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+             + (CASE WHEN punct_ratio < 0.2
+                THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)
+             + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0
+                THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END)
+             + (CASE WHEN stopword_ratio > 0.02
+                THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END), 4)
+             AS quality_score
+         FROM (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0
+               THEN CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens
+               ELSE 0.0 END AS ttr,
+             CASE WHEN n_chars > 0
+               THEN CAST(n_chars - length(regexp_replace(text,
+                      '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / n_chars
+               ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0
+               THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+               ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_tokens > 0
+               THEN CAST(len(list_filter(list_transform(toks,
+                      x -> lower(x)), x -> list_contains(
+                      ['the','a','and','of','to','in','is','that','it','for'],
+                      x))) AS DOUBLE) / n_tokens
+               ELSE 0.0 END AS stopword_ratio
+           FROM (SELECT doc_id, text, length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                     AS n_tokens,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                 FROM documents))
+         ORDER BY doc_id""",
+
+    "q_fingerprints" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+           list_min(CASE WHEN len(toks) >= 5
+             THEN [md5(array_to_string(toks[i:i+4], ' '))
+                   FOR i IN generate_series(1, len(toks) - 4)]
+             ELSE [md5(text)] END) AS min_gram_fp
+         FROM (SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents)
+         ORDER BY doc_id""",
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings

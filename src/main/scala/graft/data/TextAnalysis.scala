@@ -98,16 +98,20 @@ object TextAnalysis {
   // ---------- fingerprinting ----------
 
   /** Winnowing-style fingerprint: minimum of rolling k-gram hashes —
-    * stable under text reordering-free edits; plus a full-content hash. */
+    * stable under text reordering-free edits; plus a full-content hash.
+    * `hash` defaults to xxhash64 (codegen'd, 8-byte — the at-scale
+    * choice); pass `md5` for a cross-engine-checkable variant (the
+    * q_fingerprints oracle runs the same md5 min-gram in DuckDB). */
   def fingerprints(docs: DataFrame, textCol: String = "text",
-                   k: Int = 5): DataFrame = {
+                   k: Int = 5,
+                   hash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = wsTokens(col(textCol))
     val cnt = size(toks)
     val grams = when(cnt >= k,
-      transform(Dedup.wordNgrams(toks, cnt, k), g => xxhash64(g)))
-      .otherwise(array(xxhash64(col(textCol))))
+      transform(Dedup.wordNgrams(toks, cnt, k), g => hash(g)))
+      .otherwise(array(hash(col(textCol))))
     docs
-      .withColumn("content_hash", xxhash64(col(textCol)))
+      .withColumn("content_hash", hash(col(textCol)))
       .withColumn("min_gram_fp", array_min(grams))
       .withColumn("max_gram_fp", array_max(grams))
   }
