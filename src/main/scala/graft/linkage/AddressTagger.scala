@@ -1,0 +1,97 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based street-address tagger (P9) — closes the gap the round-1
+  * transcript-positional split left for actual address-shaped text.
+  *
+  * The reference parses with the usaddress CRF tagger and keeps five
+  * labels (addr_parse, matching.py:34–59): AddressNumber → number,
+  * StreetName → street, StreetNamePostType → suffix, OccupancyType →
+  * prefix, OccupancyIdentifier → value; everything else (notably
+  * StreetNamePreDirectional) is DROPPED. A CRF doesn't ship in this
+  * sandbox, so this is a grammar over normalized (clean_string'd) text:
+  *
+  *   [number] [pre-directional]? <street…> [suffix]? [occ-type occ-id |
+  *   #id]?
+  *
+  * with suffix/occupancy/directional lexicons (USPS C1/C2 abbreviations).
+  * Pure Column tree — codegen'd, shuffle-free; produces exactly the
+  * (number, street, suffix, prefix, value, full) struct Scoring expects,
+  * and reproduces the reference's four calibration exemplars end-to-end
+  * (AddressTaggerSpec).
+  */
+object AddressTagger {
+
+  /** USPS street-suffix abbreviations + spelled-out forms (subset
+    * covering the common ~95%). */
+  val SuffixLexicon: Seq[String] = Seq(
+    "ST", "STREET", "AVE", "AVENUE", "RD", "ROAD", "DR", "DRIVE",
+    "LN", "LANE", "BLVD", "BOULEVARD", "CT", "COURT", "PL", "PLACE",
+    "WAY", "CIR", "CIRCLE", "TER", "TERRACE", "HWY", "HIGHWAY",
+    "PKWY", "PARKWAY", "SQ", "SQUARE", "TRL", "TRAIL", "LOOP", "RUN",
+    "PIKE", "PATH", "ALY", "ALLEY", "BND", "BEND", "XING", "CROSSING")
+
+  /** USPS secondary-unit designators (OccupancyType). */
+  val OccupancyLexicon: Seq[String] = Seq(
+    "APT", "APARTMENT", "UNIT", "STE", "SUITE", "FL", "FLOOR", "RM",
+    "ROOM", "BLDG", "BUILDING", "LOT", "TRLR", "TRAILER", "DEPT",
+    "SPC", "SPACE", "BSMT", "PH", "HNGR", "SLIP", "#")
+
+  /** Pre-directionals — usaddress tags them StreetNamePreDirectional,
+    * which addr_parse ignores, so they vanish from every field. */
+  val Directionals: Seq[String] = Seq(
+    "N", "S", "E", "W", "NE", "NW", "SE", "SW",
+    "NORTH", "SOUTH", "EAST", "WEST")
+
+  /** Tag one normalized address string into the Scoring addr struct. */
+  def tag(addr: Column): Column = {
+    val toks = split(trim(addr), "\\s+") // "" → [""], never empty
+    val n = size(toks)
+    val first = element_at(toks, 1)
+    val hasNum = first.rlike("^[0-9]+[A-Z]?$")
+    val number = when(hasNum, first).otherwise(lit(""))
+
+    // occupancy: trailing "<TYPE> <id>" pair, or a trailing "#<id>"
+    val last = element_at(toks, -1)
+    val secondLast = when(n >= 2, element_at(toks, -2)).otherwise(lit(""))
+    val occPair = n >= 2 && secondLast.isin(OccupancyLexicon: _*)
+    val occHash = !occPair && last.rlike("^#.+")
+    val prefix = when(occPair, secondLast)
+      .when(occHash, lit("#")).otherwise(lit(""))
+    val value = when(occPair, last)
+      .when(occHash, regexp_replace(last, "^#", "")).otherwise(lit(""))
+
+    // street body = tokens between the number and the occupancy block
+    val startIdx = when(hasNum, 2).otherwise(lit(1))
+    val dropEnd = when(occPair, 2).when(occHash, 1).otherwise(lit(0))
+    val bodyLen = greatest(n - dropEnd - (startIdx - 1), lit(0))
+    val body0 = slice(toks, startIdx, bodyLen)
+    val body = when(size(body0) >= 2 &&
+        element_at(body0, 1).isin(Directionals: _*),
+        slice(body0, lit(2), size(body0) - 1))
+      .otherwise(body0)
+
+    val lastBody = when(size(body) >= 1, element_at(body, -1))
+      .otherwise(lit(""))
+    val hasSuffix = size(body) >= 1 && lastBody.isin(SuffixLexicon: _*)
+    val suffix = when(hasSuffix, lastBody).otherwise(lit(""))
+    val street = when(hasSuffix,
+        array_join(slice(body, lit(1), greatest(size(body) - 1, lit(0))), " "))
+      .otherwise(array_join(body, " "))
+
+    struct(number.as("number"), street.as("street"), suffix.as("suffix"),
+      prefix.as("prefix"), value.as("value"), trim(addr).as("full"))
+  }
+
+  /** Extract-shaped records (Extract.Header) → Scoring/Blocking-ready:
+    * adds the tagged `addr` struct from household_street_address and
+    * aliases record_id to conv_id, so the CSV/JDBC extract path runs the
+    * same pipeline the transcript fold feeds. */
+  def parseAddressRecords(extracted: DataFrame): DataFrame =
+    extracted
+      .withColumn("addr",
+        tag(upper(col("household_street_address"))))
+      .withColumn("conv_id", col("record_id"))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.linkage.{AddressTagger, Scoring}
+
+/** Rule-based address tagging (P9, addr_parse analog): field assignment
+  * over the usaddress label subset, and END-TO-END reproduction of the
+  * reference's calibration exemplars (matching.py:25–31) from the raw
+  * strings — tagger → comparator, no hand-built structs. */
+class AddressTaggerSpec extends AnyFunSuite with SparkFixture {
+
+  private def tagOne(s: String): Map[String, String] = {
+    import spark.implicits._
+    val row = Seq(s).toDF("a")
+      .select(AddressTagger.tag(col("a")).as("t"))
+      .select("t.number", "t.street", "t.suffix", "t.prefix", "t.value")
+      .head()
+    Seq("number", "street", "suffix", "prefix", "value")
+      .zipWithIndex.map { case (k, i) => k -> row.getString(i) }.toMap
+  }
+
+  test("field assignment across the grammar") {
+    assert(tagOne("205 GARDEN ST") == Map("number" -> "205",
+      "street" -> "GARDEN", "suffix" -> "ST", "prefix" -> "", "value" -> ""))
+    assert(tagOne("205 GARDEN ST APT 5F") == Map("number" -> "205",
+      "street" -> "GARDEN", "suffix" -> "ST", "prefix" -> "APT",
+      "value" -> "5F"))
+    // pre-directional dropped (usaddress tags it, addr_parse ignores it)
+    assert(tagOne("12 N MAIN STREET") == Map("number" -> "12",
+      "street" -> "MAIN", "suffix" -> "STREET", "prefix" -> "",
+      "value" -> ""))
+    // multi-word street, #-form occupancy
+    assert(tagOne("1600 MARTIN LUTHER KING BLVD #12B") ==
+      Map("number" -> "1600", "street" -> "MARTIN LUTHER KING",
+        "suffix" -> "BLVD", "prefix" -> "#", "value" -> "12B"))
+    // no number, no suffix
+    assert(tagOne("RURAL ROUTE 4") ==
+      Map("number" -> "", "street" -> "RURAL ROUTE 4", "suffix" -> "",
+        "prefix" -> "", "value" -> ""))
+    // suffix-only body → street missing, suffix kept (matching.py:137–162
+    // branch gets exercised downstream)
+    assert(tagOne("205 ST") == Map("number" -> "205", "street" -> "",
+      "suffix" -> "ST", "prefix" -> "", "value" -> ""))
+    // number with letter, unit designator spelled out
+    assert(tagOne("42A ELM AVE UNIT 7") == Map("number" -> "42A",
+      "street" -> "ELM", "suffix" -> "AVE", "prefix" -> "UNIT",
+      "value" -> "7"))
+    // blank → all-empty struct (addr_parse exception path)
+    assert(tagOne("") == Map("number" -> "", "street" -> "",
+      "suffix" -> "", "prefix" -> "", "value" -> ""))
+  }
+
+  private def scoreRaw(a: String, b: String): Double = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+      .select(Scoring.addressDistance(
+        AddressTagger.tag(col("a")), AddressTagger.tag(col("b"))).as("s"))
+      .head().getDouble(0)
+  }
+
+  test("matching.py:25–31 exemplars reproduce from RAW strings") {
+    assert(math.abs(scoreRaw("205 GARDEN ST", "206 GARDEN ST") - 0.8333)
+      < 5e-4)
+    assert(math.abs(scoreRaw("205 GARDEN ST", "205 GAREDN ST") - 0.98444)
+      < 5e-5)
+    assert(math.abs(scoreRaw("205 GARDEN STREET", "205 GAREDN ST") - 0.9666)
+      < 1e-3)
+    assert(math.abs(scoreRaw("205 GARDEN ST APT 5F", "205 GARDEN ST APT 5J")
+      - 0.9472) < 5e-4)
+  }
+
+  test("extracted records flow into blocking/scoring shape") {
+    import spark.implicits._
+    val extracted = Seq(
+      ("r1", "AL", "SMITH", "", "M", "5551234", "205 GARDEN ST", "02139"),
+      ("r2", "AL", "SMITH", "", "M", "5551234", "205 GAREDN ST", "02139"))
+      .toDF("record_id", "given_name", "family_name", "DOB", "sex",
+        "phone_number", "household_street_address", "household_zip")
+    val recs = AddressTagger.parseAddressRecords(extracted)
+    val pairs = Seq(("r1", "r2")).toDF("id_a", "id_b")
+    val scored = Scoring.scorePairs(recs, pairs).head()
+    assert(scored.getDouble(scored.fieldIndex("addr_score")) > 0.95)
+    assert(scored.getDouble(scored.fieldIndex("total_score")) > 0.85)
+  }
+}
