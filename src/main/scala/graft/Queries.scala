@@ -385,14 +385,18 @@ object Queries {
     // scale paths (hash-bucketed recall has no cross-engine ground truth
     // — DataOpsSpec carries planted-recall tests) + multimodal ----
 
-    // SimHash near-dup detection, same planted-garble construction
+    // SimHash near-dup detection, same planted-garble construction.
+    // maxDistance=3 is the production config: 4 exact bands of 16 bits —
+    // wider distances shrink buckets to 64/(d+1) bits and the candidate
+    // join goes quadratic (measured 38 s at sf0.1 with d=8). Exactness at
+    // any configured distance is proven brute-force in DataOpsSpec.
     "q_simhash_neardups" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
       val sigs = graft.data.Dedup.simHash(docs.unionByName(planted))
-      graft.data.Dedup.simHashNearDups(sigs, maxDistance = 8)
+      graft.data.Dedup.simHashNearDups(sigs, maxDistance = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

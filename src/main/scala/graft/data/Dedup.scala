@@ -90,28 +90,33 @@ object Dedup {
       jaccardThreshold: Double = 0.7,
       seed: Long = 42L)
 
-  /** MinHash signatures: (id, sig: array<long> of numHashes mins),
-    * computed per row with NO shuffle: one `aggregate` over the shingle
-    * array whose accumulator is the running elementwise min of the k
-    * seeded hashes (hash_i(shingle) = xxhash64(seed, i, shingle), same
-    * values as round 1's 64 min-aggregate columns — duplicates among
-    * shingles can't change a min, so no distinct is needed).
+  /** MinHash signatures: (id, sig: array<long> of numHashes mins) from
+    * the exploded (id, shingle) relation. hash_i(shingle) =
+    * xxhash64(seed, i, shingle) — same values as round 1.
     *
-    * The shingle array is the aggregate's collection argument, evaluated
-    * once per row; the per-element work is k hashes + a zip_with min. */
-  def minHashSignatures(docs: DataFrame, cfg: MinHashConfig,
-                        idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+    * Plan shape (the codegen-friendly middle ground): explode the k hash
+    * indices against the shingles (GenerateExec, whole-stage codegen),
+    * hash + partial-min map-side, shuffle only the (id, i) → min rows
+    * (k·|docs|, tiny), then assemble the ordered array per doc. Round 1's
+    * 64 independent min-aggregate columns blew up codegen (2 MB task
+    * binaries); the round-2 interim (per-row `aggregate` lambda) dodged
+    * the shuffle but ran INTERPRETED — higher-order-function lambdas are
+    * excluded from codegen, and k string-hashes per shingle in the
+    * interpreter cost more than this shuffle. */
+  def minHashSignatures(exploded: DataFrame, cfg: MinHashConfig,
+                        idCol: String = "doc_id"): DataFrame = {
     val k = cfg.numHashes
-    val sig = aggregate(
-      shingles(col(textCol), cfg.shingleSize),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, sh) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(k - 1)),
-          i => xxhash64(lit(cfg.seed), i, sh)),
-        (a, h) => least(a, h)))
-    docs.select(col(idCol), sig.as("sig"))
+    val idx = array((0 until k).map(lit): _*)
+    exploded
+      .select(col(idCol), col("shingle"), explode(idx).as("i"))
+      .select(col(idCol), col("i"),
+        xxhash64(lit(cfg.seed), col("i"), col("shingle")).as("h"))
+      .groupBy(col(idCol), col("i"))
+      .agg(min(col("h")).as("mh"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
   }
 
   /** LSH band buckets: (id, band, bucket). r = numHashes/bands rows per
@@ -169,14 +174,14 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, cfg: MinHashConfig = MinHashConfig(),
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // persist the fan-out points: exploded feeds both sides of the verify
-    // join; candidate pairs are consumed twice inside verify — without
-    // caching those subtrees re-execute per consumer. Signatures are a
-    // single-consumer narrow projection now — nothing to cache there.
+    // persist the fan-out points: exploded feeds the signatures AND both
+    // sides of the verify join; candidate pairs are consumed twice inside
+    // verify — without caching those subtrees re-execute per consumer.
+    // Signatures have a single consumer (banding) — no cache needed.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
       .persist(lvl)
-    val sigs = minHashSignatures(docs, cfg, idCol, textCol)
+    val sigs = minHashSignatures(exploded, cfg, idCol)
     val cands = lshCandidates(lshBuckets(sigs, cfg, idCol), idCol)
       .persist(lvl)
     jaccardVerify(exploded, cands, idCol)
@@ -188,33 +193,30 @@ object Dedup {
   /** 64-bit SimHash over word tokens: bit i = sign of Σ_tokens ±1 where
     * the sign is bit i of xxhash64(token). Returns (id, simhash).
     *
-    * Per-row projection, NO shuffle: one `aggregate` over the token array
-    * carries a 64-int bit-counter accumulator; a final zip_with against a
-    * powers-of-two array ORs the sign bits together. Same values as
-    * round 1's 64 sum-aggregate columns. */
+    * Plan shape mirrors [[minHashSignatures]]: explode tokens × the 64
+    * bit indices inside whole-stage codegen (one string-hash per token,
+    * reused across bits), partial-sum map-side, shuffle only the
+    * (id, i) → sum rows, then bit_or the set bits into the signature.
+    * Same values as round 1's 64 sum-aggregate columns without their
+    * codegen girth, and no interpreted per-row lambda. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        // functions.shiftrightunsigned only takes an Int shift; the shift
-        // here is the lambda variable i, so resolve the SQL builtin
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, i) => c + when(
-            call_function("shiftrightunsigned", h, i)
-              .bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1))
-      })
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    val sig = aggregate(
-      zip_with(counts, powers,
-        (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L),
-      (a, b) => a.bitwiseOR(b))
-    docs.select(col(idCol), sig.as("simhash"))
+    val idx = array((0 until 64).map(lit): _*)
+    docs
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"),
+        explode(idx).as("i"))
+      .select(col(idCol), col("i"),
+        when(call_function("shiftrightunsigned", col("h"), col("i"))
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1).as("b"))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum(col("b")).as("s"))
+      .groupBy(col(idCol))
+      .agg(bit_or(
+        when(col("s") > 0,
+          call_function("shiftleft", lit(1L), col("i")))
+          .otherwise(lit(0L))).as("simhash"))
   }
 
   /** SimHash near-dups: ALL pairs at Hamming distance ≤ maxDistance.
