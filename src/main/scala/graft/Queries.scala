@@ -424,11 +424,11 @@ object Queries {
     }),
 
     // language-ID heuristic over documents (oracle: the same stopword
-    // argmax with alphabetical tie-break, replicated in DuckDB)
+    // argmax with alphabetical tie-break, replicated in DuckDB);
+    // langGuessDf = codegen'd explode+agg path, not the per-row HOF form
     "q_lang_guess" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          graft.data.TextAnalysis.langGuess(col("text")).as("lang_guess"))
+      graft.data.TextAnalysis.langGuessDf(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("lang_guess"))
         .orderBy(col("doc_id"))),
 
     // quality-score features over documents (oracle: formula in SQL)

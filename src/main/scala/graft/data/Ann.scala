@@ -119,6 +119,10 @@ object Ann {
 
   // ---------- IVF ----------
 
+  /** nCentroids <= 0 → derived as max(16, √|corpus|) at search time (the
+    * standard IVF sizing rule — a fixed cell count stops partitioning the
+    * search once the corpus outgrows it; at 10⁹ vectors √n ≈ 32k cells
+    * keeps each probe scanning ~n/√n rows). */
   case class IvfConfig(nCentroids: Int = 16, nProbe: Int = 4,
                        lloydIters: Int = 3, dims: Int = 64,
                        seed: Long = 11L)
@@ -172,7 +176,11 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               cfg: IvfConfig = IvfConfig(),
               idCol: String = "vec_id"): DataFrame = {
-    val centroids = trainCentroids(corpus, cfg, idCol)
+    val sized =
+      if (cfg.nCentroids > 0) cfg
+      else cfg.copy(nCentroids =
+        math.max(16, math.sqrt(corpus.count().toDouble).toInt))
+    val centroids = trainCentroids(corpus, sized, idCol)
     val cells = assign(corpus, centroids)
       .select(col("centroid"), col(idCol), col("embedding"))
     val qAssigned = queries.select(col("query_id"),

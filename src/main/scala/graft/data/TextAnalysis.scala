@@ -44,8 +44,50 @@ object TextAnalysis {
     size(filter(tokens, t =>
       t.isin(stopwords(lang).map(s => lit(s): Any): _*)))
 
+  /** DataFrame-level language ID: adds `lang_guess` with the exact
+    * [[langGuess]] semantics (argmax stopword hits, earliest-alphabetical
+    * tie-break, CJK ratio routes to "zh", no hits → "und").
+    *
+    * Plan shape for the hot path: [[langGuess]]'s per-row `filter` HOFs
+    * run interpreted (HOF lambdas are excluded from whole-stage codegen
+    * — measured 3.4 s at sf0.1); this explodes tokens and counts the four
+    * profiles as codegen'd conditional sums, shuffling only (id, 4 ints).
+    */
+  def langGuessDf(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val tok = lower(col("_tok"))
+    val hitSums = langs.map(l =>
+      sum(when(tok.isin(stopwords(l).map(x => x: Any): _*), 1).otherwise(0))
+        .as(s"_h_$l"))
+    val hits = docs
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol)).agg(hitSums.head, hitSums.tail: _*)
+    val joined = docs.join(hits, Seq(idCol), "left") // 0-token docs drop out
+    val h = langs.map(l => coalesce(col(s"_h_$l"), lit(0)))
+    // argmax with earliest-alphabetical tie-break — identical to the
+    // stable descending sort in langGuess (first among equal hits wins)
+    def wins(i: Int): Column =
+      (i + 1 until langs.size).map(j => h(i) >= h(j))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val best = (0 until langs.size - 1)
+      .foldRight(lit(langs.last): Column) { (i, acc) =>
+        when(wins(i), lit(langs(i))).otherwise(acc)
+      }
+    val cjk = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", ""))
+    joined
+      .withColumn("lang_guess",
+        when(cjk * 2 > length(col(textCol)), lit("zh"))
+          .when(greatest(h: _*) > 0, best)
+          .otherwise(lit("und")))
+      .drop(langs.map(l => s"_h_$l"): _*)
+  }
+
   /** Argmax language guess; "und" (undetermined) when no profile hits.
-    * A CJK ratio check routes ideographic text to "zh" first. */
+    * A CJK ratio check routes ideographic text to "zh" first.
+    * Per-row Column form — convenient for single expressions; the HOFs
+    * inside run interpreted, so batch scoring should use [[langGuessDf]].
+    */
   def langGuess(text: Column): Column = {
     val toks = transform(wsTokens(text), t => lower(t))
     val scored = array(stopwords.keys.toSeq.sorted.map(l =>

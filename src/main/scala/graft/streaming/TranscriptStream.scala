@@ -90,6 +90,20 @@ object TranscriptStream {
       .select(col("window.start").as("window_start"), col("role"),
         col("n_turns"))
 
+  /** Streaming exact dedup (the ingest leg of the dedup family, batch
+    * analog Dedup.exact): emit each distinct document text once, keyed by
+    * its 64-bit content hash. dropDuplicatesWithinWatermark bounds the
+    * dedup state by event time — at 10¹²-doc scale an unbounded distinct
+    * state is the OOM; the watermark makes the state window explicit
+    * (re-ingesting a duplicate after the window re-emits it, which the
+    * downstream batch dedup catches). `docs` needs (ts, text). */
+  def dedupStream(docs: DataFrame,
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** File-source streaming ingest → TableIO-layout parquet sink with
     * checkpointing (exactly-once file sink). */
   def ingest(spark: SparkSession, sourceDir: String, targetDir: String,

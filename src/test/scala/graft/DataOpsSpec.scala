@@ -199,6 +199,17 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L) == "en"); assert(out(2L) == "de")
     assert(out(3L) == "fr"); assert(out(4L) == "es")
     assert(out(5L) == "zh"); assert(out(6L) == "und")
+    // the codegen'd batch path agrees with the per-row form everywhere
+    // (incl. an empty doc, which has no exploded tokens at all)
+    val withEmpty = docs.unionByName(Seq((7L, "")).toDF("doc_id", "text"))
+    val batch = TextAnalysis.langGuessDf(withEmpty)
+      .select(col("doc_id"), col("lang_guess")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perRow = withEmpty.select(col("doc_id"),
+      TextAnalysis.langGuess(col("text")).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch == perRow)
+    assert(batch(7L) == "und")
   }
 
   test("tokenization + quality + fingerprints") {

@@ -47,6 +47,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("streaming exact dedup emits each distinct text once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val docs = input.toDF().toDF("ts", "text", "doc_id")
+    val query = TranscriptStream.dedupStream(docs)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(m: Int) = new java.sql.Timestamp(1735689600000L + m * 60000L)
+      input.addData(
+        (ts(0), "alpha doc", 1L), (ts(1), "beta doc", 2L),
+        (ts(2), "alpha doc", 3L), // duplicate within the watermark window
+        (ts(3), "gamma doc", 4L))
+      query.processAllAvailable()
+      input.addData((ts(4), "alpha doc", 5L), (ts(5), "delta doc", 6L))
+      query.processAllAvailable()
+      val texts = spark.table("deduped").collect().map(_.getString(1))
+      assert(texts.sorted.toSeq ==
+        Seq("alpha doc", "beta doc", "delta doc", "gamma doc"))
+    } finally query.stop()
+  }
+
   test("windowed turn rates with watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
