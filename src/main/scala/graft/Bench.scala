@@ -63,11 +63,15 @@ object Bench {
   /** Staged linkage run with materialization barriers so each stage's
     * wall time is attributable. A small pilot run first warms JIT +
     * codegen caches — at bench corpus sizes cold-JVM compilation
-    * otherwise dominates and reverses scaling comparisons. */
+    * otherwise dominates and reverses scaling comparisons — then
+    * best-of-2 measured runs (single samples showed 3× stage-wall
+    * outliers from GC landing mid-stage). */
   def linkageBenchWarm(spark: SparkSession, nConvs: Int)
       : (LinkageStats, Long) = {
     linkageBench(spark, math.max(500, nConvs / 40)) // warmup pilot
-    linkageBench(spark, nConvs)
+    val a = linkageBench(spark, nConvs)
+    val b = linkageBench(spark, nConvs)
+    if (a._1.total <= b._1.total) a else b
   }
 
   def linkageBench(spark: SparkSession, nConvs: Int): (LinkageStats, Long) = {
@@ -155,8 +159,26 @@ object Bench {
 
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
     val spark = session(cpus)
-    val queryTimes = if (skipQueries) Seq.empty
-    else SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // steady-state measurement, same methodology as linkageBenchWarm:
+    // one untimed pass first — cold-JVM JIT of Spark internals otherwise
+    // lands entirely on whichever queries run first (measured: the
+    // alphabetically-first aggregation read 7.2 s cold vs 1.7 s warm)
+    val warm = sys.env.getOrElse("SPARK_GRAFT_QUERY_WARMUP", "1") == "1"
+    // clear the cache between queries: operators that persist internal
+    // fan-out points (minhash's exploded shingles/candidates) would
+    // otherwise (a) leak blocks across the run until later stages hit
+    // memory pressure (measured: CC at 55 s instead of 4 s), and (b) let
+    // the timed pass cache-HIT the warmup pass's semantically-equal plans
+    // and measure a read, not the compute
+    if (!skipQueries && warm) ordered.foreach { case (_, fn) =>
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    // two timed rounds, best per query: single samples on this box swing
+    // up to 10× when an OS flush or GC lands mid-query (measured the
+    // same aggregation at 1.2 s and 11.8 s in back-to-back runs)
+    def timedRound(): Map[String, Double] = ordered.map {
       case (name, fn) =>
         val t = try {
           val (_, secs) = time(exec(fn(spark, sfDir)))
@@ -165,7 +187,16 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+        spark.catalog.clearCache()
         name -> t
+    }.toMap
+    val queryTimes = if (skipQueries) Seq.empty
+    else {
+      val (r1, r2) = (timedRound(), timedRound())
+      ordered.map { case (name, _) =>
+        val (a, b) = (r1(name), r2(name))
+        name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }
     }
     val (stats, nTurns) = linkageBenchWarm(spark, nConvs)
     spark.stop()

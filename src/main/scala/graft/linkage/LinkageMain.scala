@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *     [--buckets <n>]            persist records conv_id-bucketed (n
   *                                buckets) so pair-attribute joins never
   *                                shuffle the record structs
+  *     [--householddef <csv>]     household definitions file: skip
+  *                                inference, CLK-encode the given
+  *                                households (households.py -d)
   *     [--synthetic <nConvs>]     generate a synthetic corpus instead of
   *                                reading --input
   *
@@ -44,6 +47,29 @@ object LinkageMain {
     m.toMap
   }
 
+  /** --householddef (households.py:39–44, 322–323, 404–407): the user
+    * supplies household definitions (HOUSEHOLD_PII_HEADERS csv:
+    * family_name, phone_number, household_street_address, household_zip,
+    * record_ids) — inference is skipped entirely; the definitions are
+    * CLK-encoded with the households subkey and the metadata records
+    * households_inferred = false. */
+  def householdDefFlow(spark: SparkSession, defPath: String, out: String,
+                       secret: Option[String]): Long = {
+    val hhPii = Extract.readCsvAllStrings(spark, defPath)
+      .withColumn("cluster_id", col("record_ids"))
+    val n = hhPii.count()
+    secret.foreach { s =>
+      val clks = Garble.householdClks(hhPii, s)
+      Garble.writeClksJson(
+        clks.withColumnRenamed("cluster_id", "conv_id"),
+        s"$out/household_clks")
+    }
+    Extract.writeMetadata(spark, Map(
+      "number_of_households" -> n.toString,
+      "households_inferred" -> "false"), s"$out/households_metadata.json")
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val out = opts.getOrElse("output",
@@ -56,6 +82,13 @@ object LinkageMain {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    opts.get("householddef").foreach { defPath =>
+      val n = householdDefFlow(spark, defPath, out, opts.get("secret"))
+      println(s"[graft] household definitions encoded: households=$n")
+      spark.stop()
+      return
+    }
 
     val transcripts = opts.get("synthetic") match {
       case Some(n) => SynthTranscripts.transcripts(spark,
@@ -80,6 +113,10 @@ object LinkageMain {
     TableIO.write(result.records.drop("turns"), s"$out/records")
     TableIO.write(result.matchedPairs, s"$out/matched_pairs")
     TableIO.write(result.clusters, s"$out/clusters")
+    // households metadata document (households.py:370–390 analog)
+    Extract.writeMetadata(spark, Map(
+      "number_of_households" -> result.clusters.count().toString,
+      "households_inferred" -> "true"), s"$out/households_metadata.json")
     // comma-joined ids only at the CSV edge (households.py:268–276 shape)
     result.clusters.select(col("cluster_id"),
         concat_ws(",", col("members")).as("record_ids"), col("size"))

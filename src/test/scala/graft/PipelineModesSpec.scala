@@ -52,6 +52,24 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
     assert(labeled("c1") != labeled("c2"))
   }
 
+  test("householddef: definitions file bypasses inference (households -d)") {
+    import graft.linkage.{Extract, LinkageMain}
+    val base = java.nio.file.Files.createTempDirectory("hhdef").toString
+    val defCsv = s"$base/households.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(defCsv),
+      "family_name,phone_number,household_street_address,household_zip,record_ids\n" +
+      "SMITH,5551234,1 MAIN ST,02139,\"p1,p2\"\n" +
+      "KING,5559999,2 ELM AVE,02140,p3\n")
+    val out = s"$base/out"
+    val n = LinkageMain.householdDefFlow(spark, defCsv, out,
+      Some("0123456789abcdef0123456789abcdef"))
+    assert(n == 2)
+    assert(spark.read.json(s"$out/household_clks").count() == 2)
+    val meta = Extract.readMetadata(spark, s"$out/households_metadata.json")
+    assert(meta("households_inferred") == "false")
+    assert(meta("number_of_households") == "2")
+  }
+
   test("testrun scoring files have the reference shape") {
     import spark.implicits._
     val labeled = Seq(("a", "k1"), ("b", "k1"), ("c", "k2"))
