@@ -132,6 +132,47 @@ object Extract {
       .orderBy(rand(shuffleSeed)) // privacy shuffle, seeded (O1)
   }
 
+  /** Reference timestamp format (definitions.py TIMESTAMP_FMT). */
+  val TimestampFmt = "yyyyMMdd'T'HHmmss"
+
+  /** extract.py write_data + write_metadata (262–287): the timestamped
+    * pii-<ts>.csv / metadata-<ts>.json pair. `creationTime` is
+    * caller-injected (the reference stamps datetime.now(); deterministic
+    * runs, §7.5) and the content-hash run id replaces uuid1. Returns the
+    * timestamp used in both names — garble's newest-source discovery
+    * ([[readLatestPii]]) asserts the pair matches. */
+  def writePii(df: DataFrame, dir: String,
+               creationTime: java.time.LocalDateTime): String = {
+    val ts = creationTime.format(
+      java.time.format.DateTimeFormatter.ofPattern(TimestampFmt))
+    df.select(Header.map(col): _*)
+      .coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/pii-$ts.csv")
+    writeMetadata(df.sparkSession,
+      metadata(df) + ("creation_date" -> creationTime.format(
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss"))),
+      s"$dir/metadata-$ts.json")
+    ts
+  }
+
+  /** garble.py:82–110: resolve the NEWEST pii-<ts>.csv under `dir`, load
+    * it all-string, and assert its metadata sibling's creation_date
+    * matches the file's timestamp (the reference's staleness guard). */
+  def readLatestPii(spark: SparkSession, dir: String)
+      : (DataFrame, Map[String, String]) = {
+    val path = TableIO.latestTimestampedPath(spark, dir, "pii-")
+      .getOrElse(throw new IllegalArgumentException(s"no pii-* under $dir"))
+    val ts = path.split("/").last.stripPrefix("pii-").stripSuffix(".csv")
+    val meta = readMetadata(spark, s"$dir/metadata-$ts.json")
+    val metaTs = meta.getOrElse("creation_date", "")
+      .replace("-", "").replace(":", "")
+    require(ts == metaTs,
+      s"Metadata creation date does not match pii file timestamp " +
+        s"($metaTs vs $ts)")
+    (readCsvAllStrings(spark, path), meta)
+  }
+
   /** S2: csv scan with everything forced to string and empty-string nulls
     * (households.py:131–142 semantics). */
   def readCsvAllStrings(spark: SparkSession, path: String): DataFrame = {

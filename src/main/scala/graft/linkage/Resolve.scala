@@ -33,6 +33,32 @@ object Resolve {
       s"metadata verification failed:\n${diff.mkString("\n")}")
   }
 
+  /** get_metadata (validate_metadata.py:34–46): locate the metadata
+    * member inside a garbled/linkage zip by name. Zero members → None
+    * (the reference warns and returns None); more than one → first in
+    * archive order, like the reference. Flat string-valued JSON parsed
+    * with the same reader the sink uses. */
+  def metadataFromZip(spark: SparkSession,
+                      zipPath: String): Option[Map[String, String]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(zipPath), spark.sparkContext.hadoopConfiguration)
+    val zin = new java.util.zip.ZipInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(zipPath)))
+    try {
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        if (entry.getName.contains("metadata")) {
+          val txt = scala.io.Source.fromInputStream(zin).mkString
+          return Some(
+            """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2)).toMap)
+        }
+        entry = zin.getNextEntry
+      }
+      None
+    } finally zin.close()
+  }
+
   /** S9: read the single CSV inside a linkage-agent zip (driver unzips to
     * temp, then a normal csv scan). */
   def readZipMemberCsv(spark: SparkSession, zipPath: String): DataFrame = {

@@ -175,6 +175,27 @@ class StagesSpec extends AnyFunSuite with SparkFixture {
     assert(mm.getString(0) == "" && mm.getString(1) == "Y33")
   }
 
+  test("timestamped pii/metadata pair + newest-source discovery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    val mk = (id: String) => Seq((id, "A", "B", "", "M", "1", "2 X ST", "Z"))
+      .toDF("record_id", "given_name", "family_name", "DOB", "sex",
+        "phone_number", "household_street_address", "household_zip")
+    val t1 = java.time.LocalDateTime.of(2026, 8, 16, 10, 0, 0)
+    val t2 = java.time.LocalDateTime.of(2026, 8, 16, 12, 30, 5)
+    Extract.writePii(mk("old"), dir, t1)
+    val ts2 = Extract.writePii(mk("new"), dir, t2)
+    assert(ts2 == "20260816T123005")
+    val (df, meta) = Extract.readLatestPii(spark, dir)
+    assert(df.select("record_id").head().getString(0) == "new")
+    assert(meta("number_of_records") == "1")
+    // staleness guard: creation_date disagreeing with the file stamp
+    Extract.writeMetadata(spark,
+      meta + ("creation_date" -> "2026-08-16T12:30:06"),
+      s"$dir/metadata-$ts2.json")
+    intercept[IllegalArgumentException](Extract.readLatestPii(spark, dir))
+  }
+
   test("multi-schema garble flow: per-schema CLKs, garble_time, zip") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("garble").toString
@@ -291,5 +312,14 @@ class StagesSpec extends AnyFunSuite with SparkFixture {
     val back = Resolve.readZipMemberCsv(spark, s"$dir/links.zip")
     assert(back.count() == 2 &&
       back.columns.toSeq == Seq("LINK_ID", "position"))
+    // metadata member discovery inside an archive (get_metadata analog):
+    // none in the links zip; present after adding one
+    assert(Resolve.metadataFromZip(spark, s"$dir/links.zip").isEmpty)
+    Extract.writeMetadata(spark,
+      Map("number_of_records" -> "2", "run_id" -> "abc"),
+      s"$dir/withmeta/metadata-20260816.json")
+    Garble.zipDirectory(spark, s"$dir/withmeta", s"$dir/withmeta.zip")
+    assert(Resolve.metadataFromZip(spark, s"$dir/withmeta.zip")
+      .contains(Map("number_of_records" -> "2", "run_id" -> "abc")))
   }
 }
