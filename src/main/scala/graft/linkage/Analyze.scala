@@ -51,7 +51,7 @@ object Analyze {
     val idRow = idCounts.agg(
       count(lit(1)).as("uniq"),
       count(when(col("cnt") > 1, 1)).as("dups"),
-      sum(col("cnt")).as("rows")).head()
+      coalesce(sum(col("cnt")), lit(0L)).as("rows")).head()
     val (uniq, dups, nRows) =
       (idRow.getLong(0), idRow.getLong(1), idRow.getLong(2))
     stats += ("number_of_rows" -> nRows)
@@ -71,7 +71,8 @@ object Analyze {
     val dobRow = df.agg(
       min(present(dob)).as("min"),
       max(present(dob)).as("max"),
-      sum(when(nonBlank(dob), 0).otherwise(1)).as("missing")).head()
+      coalesce(sum(when(nonBlank(dob), 0).otherwise(1)), lit(0L))
+        .as("missing")).head()
     var dobStats = ListMap[String, Any](
       "min" -> Option(dobRow.getString(0)).getOrElse(""),
       "max" -> Option(dobRow.getString(1)).getOrElse(""),
@@ -91,8 +92,11 @@ object Analyze {
     stats += ("dob" -> dobStats)
 
     // --- value distributions (lines 77–89) ---
+    // value_counts drops NaN (pandas default): present(...)-wrapped
+    // columns null out blanks and drop here; to_format columns are never
+    // null (null → "" is a counted format, matching the reference)
     def topNMap(x: Column, n: Int, lower: Long = 1): ListMap[String, Any] = {
-      val counted = df.filter(nonBlank(x) || lower <= 1)
+      val counted = df.filter(x.isNotNull)
         .groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= lower)
         .orderBy(col("cnt").desc, col("v"))

@@ -292,6 +292,11 @@ class StagesSpec extends AnyFunSuite with SparkFixture {
     val dupHeavy = rows.unionByName(rows.limit(4))
     val (_, rawHeavy) = Analyze.analyze(dupHeavy)
     assert(!rawHeavy.contains("duplicate_record_ids"))
+    // empty input analyzes to an all-zero report, not an NPE
+    val (emptyStats, emptyRaw) = Analyze.analyze(rows.limit(0))
+    assert(emptyStats("number_of_rows") == 0L)
+    assert(emptyStats("total_unique_record_ids") == 0L)
+    assert(!emptyRaw.contains("duplicate_record_ids"))
     // reports render to valid-shape JSON documents
     val dir = java.nio.file.Files.createTempDirectory("analyze").toString
     val (sp, rp) = Analyze.writeReports(rows, dir)
