@@ -18,13 +18,25 @@ object Profile {
       .orderBy(col("cnt").desc, col(field))
       .limit(topN)
 
-  /** A2: duplicate ids (with the <20% guard as a flag column). */
+  /** A2: duplicate ids, with the reference's <20% PII-spill guard
+    * COMPUTED (data_analysis.py:46–50): dup_share_ok is true only when
+    * 0 < |dup ids| < 20% of unique ids — the regime where reporting
+    * individual ids is allowed. (Analyze.analyze enforces the same guard
+    * when assembling the private report.) */
   def duplicateIds(df: DataFrame, idField: String): DataFrame = {
-    val total = df.count()
-    df.groupBy(col(idField)).agg(count(lit(1)).as("cnt"))
+    // the counts aggregation runs twice (guard scalars + the report) —
+    // leak-free beats cached here: persisting inside a utility that the
+    // caller may never unpersist bleeds blocks across a session
+    val counts = df.groupBy(col(idField)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("uniq"),
+      count(when(col("cnt") > 1, 1)).as("dups"),
+      coalesce(sum(col("cnt")), lit(0L)).as("total")).head()
+    val (uniq, dups, total) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    counts
       .filter(col("cnt") > 1)
-      .withColumn("dup_share_ok",
-        lit(true)) // caller compares count vs 0.2*total
+      .withColumn("dup_share_ok", lit(dups > 0 && dups < uniq * 0.2))
       .orderBy(col("cnt").desc, col(idField))
       .withColumn("total_records", lit(total))
   }

@@ -166,6 +166,12 @@ class StagesSpec extends AnyFunSuite with SparkFixture {
     assert(vc == Map("X2" -> 2L))
     val dups = Profile.duplicateIds(df, "id").collect()
     assert(dups.length == 1 && dups.head.getString(0) == "c")
+    // <20% guard computed: 1 dup of 4 uniques = 25% → NOT ok to report
+    assert(!dups.head.getBoolean(dups.head.fieldIndex("dup_share_ok")))
+    // 1 dup of 6 uniques (17%) → ok
+    val wide = df.unionByName(Seq(("e", "Z"), ("f", "Z")).toDF("id", "v"))
+    val dups2 = Profile.duplicateIds(wide, "id").collect()
+    assert(dups2.head.getBoolean(dups2.head.fieldIndex("dup_share_ok")))
     val mask = Profile.formatMask(df, "v").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(mask("X#") == 3 && mask("X##") == 1 && mask("") == 1)
