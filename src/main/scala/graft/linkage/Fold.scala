@@ -29,11 +29,32 @@ object Fold {
     regexp_replace(upper(c), "[^A-Z0-9]", "")
 
   /** turns array column must be sorted structs with fields
-    * (turn_idx, role, text, tool, ts). */
-  def fold(transcripts: DataFrame): DataFrame = {
+    * (turn_idx, role, text, tool, ts).
+    *
+    * Scale note: collect_list per conv_id is the right shape while
+    * conversations are human-sized, but ONE pathological conversation
+    * (a runaway agent loop with millions of turns) materializes in a
+    * single aggregation buffer — the same hazard class as a
+    * mega-duplicate group in exact dedup. `maxTurns > 0` bounds it:
+    * only the maxTurns lowest turn_idx rows per conversation survive
+    * (deterministic truncation via filter-after-rank, no fat buffer —
+    * the rank window partitions by conv_id, so no global sort). Default
+    * off: truncation breaks the per-turn equality invariant by design. */
+  def fold(transcripts: DataFrame, maxTurns: Int = 0): DataFrame = {
+    val bounded =
+      if (maxTurns <= 0) transcripts
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("conv_id"))
+          .orderBy(col("turn_idx"))
+        transcripts
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= maxTurns)
+          .drop("_rk")
+      }
     val turnStruct = struct(
       col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"))
-    val grouped = transcripts
+    val grouped = bounded
       .groupBy(col("conv_id"))
       .agg(
         array_sort(collect_list(turnStruct)).as("turns"),

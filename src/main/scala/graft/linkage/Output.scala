@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
 object Output {
 
   /** One row per cluster: sorted members, representative fields, size
-    * (A8/A9). `labeled` = records + cluster_id. */
+    * (A8/A9). `labeled` = records + cluster_id.
+    *
+    * Scale note: the members list is the reference's own output shape
+    * (households.py:268–276) and is naturally bounded by household size;
+    * a degenerate giant component would make one fat row here — upstream
+    * the 2% block cap and the 0.95 addr prefilter are what keep
+    * components household-sized. */
   def clusters(labeled: DataFrame): DataFrame =
     labeled.groupBy(col("cluster_id"))
       .agg(

@@ -38,6 +38,23 @@ class LinkagePipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bad == 0)
   }
 
+  test("fold maxTurns cap truncates deterministically by turn_idx") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val turns = (0 until 50).map(i =>
+      ("conv_big", i, if (i % 2 == 0) "user" else "assistant",
+        s"text $i", "", ts0))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val rec = Fold.fold(turns, maxTurns = 10).head()
+    val kept = rec.getSeq[org.apache.spark.sql.Row](
+      rec.fieldIndex("turns"))
+    assert(kept.size == 10)
+    assert(kept.map(_.getInt(0)) == (0 until 10))
+    // default: everything kept
+    assert(Fold.fold(turns).head()
+      .getSeq[org.apache.spark.sql.Row](rec.fieldIndex("turns")).size == 50)
+  }
+
   test("fold survives conversations with zero user turns (ANSI mode)") {
     import spark.implicits._
     // under Spark 4 ANSI, element_at on the empty user-turn array would
