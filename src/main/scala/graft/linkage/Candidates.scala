@@ -39,6 +39,37 @@ object Candidates {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Incremental candidates: pairs where AT LEAST ONE side is a new
+    * record — the increment path's blocking stage. Old-old pairs are
+    * never regenerated (scoring is deterministic, so their matches are
+    * already in the previous run's output). Block sizes and the 2% cap
+    * are evaluated over ALL records, exactly like a full run; a<b
+    * normalization dedups the two join orders and new-new pairs. */
+  def incrementalCandidates(allRecords: DataFrame, newRecords: DataFrame,
+                            passes: Seq[Blocking.Pass],
+                            cfg: Config = Config()): DataFrame = {
+    val total = allRecords.count()
+    val cap = math.max(cfg.minBlockCap, (cfg.ratioMax * total).toLong)
+    val perPass = passes.map { p =>
+      val keyedAll = Blocking.keyed(allRecords, p)
+      val counts = keyedAll.groupBy("block_key").agg(count(lit(1)).as("n"))
+      val keptAll = keyedAll.join(
+        counts.filter(col("n") <= cap).select("block_key"), Seq("block_key"))
+      val keptNew = Blocking.keyed(newRecords, p)
+        .join(keptAll.select("block_key").distinct(), Seq("block_key"),
+          "left_semi")
+      val l = keptNew.select(col("block_key"), col("conv_id").as("new_id"))
+      val r = keptAll.select(col("block_key").as("bk_r"),
+        col("conv_id").as("other_id"))
+      l.join(r, col("block_key") === col("bk_r") &&
+          col("new_id") =!= col("other_id"))
+        .select(least(col("new_id"), col("other_id")).as("id_a"),
+          greatest(col("new_id"), col("other_id")).as("id_b"))
+    }
+    perPass.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   private def pairsForPass(keyed: DataFrame, cap: Long,
                            cfg: Config): DataFrame = {
     val counts = keyed.groupBy("block_key").agg(count(lit(1)).as("n"))

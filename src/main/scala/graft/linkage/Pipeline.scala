@@ -105,6 +105,61 @@ object Pipeline {
     Result(records, pairs, scored, matched, labeled, clustersDf, metrics)
   }
 
+  /** Incremental linkage — the daily-increment path a 100-TB deployment
+    * needs: fold ONLY the new transcripts, generate candidates restricted
+    * to pairs touching a new record, score only those, and run CC over
+    * the union of previous matches and new matches. Old-old pairs are
+    * never refolded or rescored (scoring is deterministic, so their
+    * matches are `previousMatches` verbatim); the whole increment costs
+    * O(new × blocked-neighborhood), not O(corpus²).
+    *
+    * Equivalence: labels equal a full run over the combined corpus, with
+    * one documented divergence — a block that crosses the 2% cap only
+    * AFTER the increment keeps the matches found while it was under the
+    * cap (a full run drops the whole block). Matches found are never
+    * retracted, which is the behavior an append-only deployment wants.
+    *
+    * `existingRecords` must be the previous run's folded records (e.g.
+    * the conv_id-bucketed table), `previousMatches` its matched pairs. */
+  def incremental(spark: SparkSession, existingRecords: DataFrame,
+                  previousMatches: DataFrame, newTranscripts: DataFrame,
+                  cfg: Config = Config()): Result = {
+    val newRecords = Fold.fold(newTranscripts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = existingRecords.unionByName(newRecords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val passes = if (cfg.exactAddresses) Blocking.exactPasses else cfg.passes
+    val pairs = Candidates.incrementalCandidates(all, newRecords, passes,
+      cfg.candidates)
+    val scored = Scoring.scorePairs(all, pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = previousMatches
+      .unionByName(Scoring.matches(scored))
+      .dropDuplicates("id_a", "id_b")
+
+    val withNode = all.withColumn("node_id", xxhash64(col("conv_id")))
+    val edges = matched
+      .select(xxhash64(col("id_a")).as("a"), xxhash64(col("id_b")).as("b"))
+    val labels = Cluster.connectedComponents(spark, edges, cfg.ccOptions)
+    val labeledByNode = Cluster.labelRecords(withNode, labels)
+    val clusterName = labeledByNode.groupBy(col("cluster_id"))
+      .agg(min(col("conv_id")).as("cluster_key"))
+    val labeled = labeledByNode.join(clusterName, Seq("cluster_id"))
+      .drop("cluster_id").withColumnRenamed("cluster_key", "cluster_id")
+    val clustersDf = Output.clusters(labeled)
+
+    val metrics = metricsDf(spark, Seq(
+      ("new_records", newRecords.count()),
+      ("records", all.count()),
+      ("incremental_candidate_pairs", pairs.count()),
+      ("matched_pairs", matched.count()),
+      ("clusters", clustersDf.count())))
+    cfg.metricsPath.foreach(p => TableIO.write(metrics, p))
+
+    Result(all, pairs, scored, matched, labeled, clustersDf, metrics)
+  }
+
   private def metricsDf(spark: SparkSession,
                         rows: Seq[(String, Long)]): DataFrame = {
     import spark.implicits._
