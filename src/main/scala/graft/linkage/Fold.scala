@@ -96,23 +96,27 @@ object Fold {
       .withColumn("DOB", date_format(col("ts_min"), "yyyy-MM-dd"))
       .withColumn("sex", element_at(col("turns"), 1).getField("role"))
 
-    // addr_parse analog (matching.py:34–59): leading token → number,
-    // body → street, trailing token → suffix; tool-call signature plays
-    // the occupancy (prefix/value) role — weights shift exactly like
-    // second-level addresses do (matching.py:85–98).
-    val toks = split(col("full_text"), " ")
-    val n = size(toks)
     withBasics
-      .withColumn("addr", struct(
-        when(n >= 1, element_at(toks, 1)).otherwise(lit("")).as("number"),
-        when(n >= 3,
-          array_join(slice(toks, lit(2), greatest(n - 2, lit(0))), " "))
-          .otherwise(lit("")).as("street"),
-        when(n >= 2, element_at(toks, -1)).otherwise(lit("")).as("suffix"),
-        when(col("phone_number") =!= "", lit("TOOL")).otherwise(lit(""))
-          .as("prefix"),
-        col("phone_number").as("value"),
-        col("full_text").as("full")))
+      .withColumn("addr", addrStruct(col("full_text"), col("phone_number")))
       .drop("full_text")
+  }
+
+  /** addr_parse analog (matching.py:34–59): leading token → number,
+    * body → street, trailing token → suffix; tool-call signature plays
+    * the occupancy (prefix/value) role — weights shift exactly like
+    * second-level addresses do (matching.py:85–98). Shared by the batch
+    * fold and the streaming fold so both emit identical record shapes. */
+  def addrStruct(fullText: Column, phone: Column): Column = {
+    val toks = split(fullText, " ")
+    val n = size(toks)
+    struct(
+      when(n >= 1, element_at(toks, 1)).otherwise(lit("")).as("number"),
+      when(n >= 3,
+        array_join(slice(toks, lit(2), greatest(n - 2, lit(0))), " "))
+        .otherwise(lit("")).as("street"),
+      when(n >= 2, element_at(toks, -1)).otherwise(lit("")).as("suffix"),
+      when(phone =!= "", lit("TOOL")).otherwise(lit("")).as("prefix"),
+      phone.as("value"),
+      fullText.as("full"))
   }
 }

@@ -25,7 +25,8 @@ object TranscriptStream {
   case class ConvState(turns: List[Turn])
   case class FoldedConv(conv_id: String, n_turns: Int,
                         first_user_text: String, tool_sig: String,
-                        full_text: String, day: String)
+                        full_text: String, day: String,
+                        last_user_text: String, first_role: String)
 
   /** Fold a completed conversation exactly like the batch Fold stage
     * (normalization shared via Sim). */
@@ -34,8 +35,9 @@ object TranscriptStream {
     val sorted = turns.sortBy(_.turn_idx)
     def norm(s: String): String =
       Sim.normalizeAscii(s).replaceAll("\\s+", " ")
-    val firstUser = sorted.find(_.role == "user").map(t => norm(t.text))
-      .getOrElse("")
+    val userTexts = sorted.filter(_.role == "user").map(t => norm(t.text))
+    val firstUser = userTexts.headOption.getOrElse("")
+    val lastUser = userTexts.lastOption.getOrElse("")
     val toolSig = sorted.map(_.tool).filter(_.nonEmpty)
       .map(t => t.toUpperCase.replaceAll("[^A-Z0-9]", ""))
       .distinct.sorted.mkString("")
@@ -44,7 +46,28 @@ object TranscriptStream {
     val day = new java.text.SimpleDateFormat("yyyy-MM-dd") {
       setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     }.format(sorted.map(_.ts.getTime).min)
-    FoldedConv(convId, sorted.size, firstUser, toolSig, full, day)
+    FoldedConv(convId, sorted.size, firstUser, toolSig, full, day,
+      lastUser, sorted.head.role)
+  }
+
+  /** Completed-conversation stream → the EXACT batch linkage record
+    * shape (Fold.fold minus the turns array): the address-struct
+    * derivation is the shared Fold.addrStruct Column tree, so records
+    * folded incrementally can feed Pipeline.incremental directly. */
+  def toRecords(folded: Dataset[FoldedConv]): DataFrame = {
+    folded.toDF()
+      .select(
+        col("conv_id"),
+        col("day").as("ts_min"), // day-granularity stand-ins: the batch
+        col("day").as("ts_max"), // fold keeps full timestamps, linkage
+        col("first_user_text").as("family_name"), // only uses the day
+        col("last_user_text").as("given_name"),
+        col("tool_sig").as("phone_number"),
+        col("day").as("household_zip"),
+        col("day").as("DOB"),
+        col("first_role").as("sex"),
+        graft.linkage.Fold.addrStruct(col("full_text"), col("tool_sig"))
+          .as("addr"))
   }
 
   /** Streaming fold: turns stream → completed-conversation stream. A

@@ -47,6 +47,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("streaming fold records == batch fold records (shared derivation)") {
+    import spark.implicits._
+    val turns = Seq(
+      turn("c1", 0, "user", "  Héllo   World "),
+      turn("c1", 1, "assistant", "hi there"),
+      turn("c1", 2, "tool", "result x", "web-search"),
+      turn("c1", 3, "user", "thanks a lot"),
+      turn("c2", 0, "assistant", "opener"), // zero user turns
+      turn("c2", 1, "tool", "r", "db.query"),
+      turn("c3", 0, "user", "single"))
+    val cols = Seq("conv_id", "family_name", "given_name", "phone_number",
+      "household_zip", "DOB", "sex", "addr")
+    val batch = graft.linkage.Fold.fold(turns.toDF())
+      .select(cols.head, cols.tail: _*)
+    val streamed = TranscriptStream.toRecords(
+      turns.groupBy(_.conv_id).map { case (c, ts) =>
+        TranscriptStream.foldConv(c, ts)
+      }.toSeq.toDS())
+      .select(cols.head, cols.tail: _*)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      s"batch=${batch.collect().mkString("|")}\n" +
+        s"stream=${streamed.collect().mkString("|")}")
+  }
+
   test("streaming exact dedup emits each distinct text once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
