@@ -114,7 +114,9 @@ object Bench {
         org.apache.spark.sql.functions.xxhash64(
           org.apache.spark.sql.functions.col("id_b")).as("b"))
       val labels = Cluster.connectedComponents(spark, edges)
-      labels.select("cluster_id").distinct().count()
+      val n = labels.select("cluster_id").distinct().count()
+      labels.unpersist(false) // CC returns a persisted handle — release it
+      n
     }
 
     transcripts.unpersist(); records.unpersist(); pairs.unpersist()

@@ -101,7 +101,10 @@ object Dedup {
 
   /** MinHash signatures: (id, sig: array<long> of numHashes mins) from
     * the exploded (id, shingle) relation. hash_i(shingle) =
-    * xxhash64(seed, i, shingle) — same values as round 1.
+    * xxhash64(seed, i, shingle) — same FORMULA as round 1, but over the
+    * hashed shingle domain (explodedShingles now emits xxhash64(gram)
+    * longs, not gram strings), so signature values and band buckets are
+    * NOT comparable with round-1 persisted signatures.
     *
     * Plan shape (the codegen-friendly middle ground): explode the k hash
     * indices against the shingles (GenerateExec, whole-stage codegen),
@@ -179,22 +182,33 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: returns verified near-dup pairs
-    * (id_a, id_b, jaccard ≥ threshold). */
+    * (id_a, id_b, jaccard ≥ threshold).
+    *
+    * Cache lifecycle: the fan-out points (exploded shingles feed the
+    * signatures AND both verify-join sides; candidate pairs are consumed
+    * twice inside verify) are persisted for the duration of this call
+    * only — the result is materialized through them here, then they are
+    * RELEASED before returning (round 2 leaked them for the session,
+    * VERDICT r02 #2). The returned DataFrame is itself persisted (it is
+    * the one handle the caller can see); unpersist it when done. A lost
+    * result block recomputes through the full deterministic lineage —
+    * slow path, never wrong. */
   def minHashNearDups(docs: DataFrame, cfg: MinHashConfig = MinHashConfig(),
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // persist the fan-out points: exploded feeds the signatures AND both
-    // sides of the verify join; candidate pairs are consumed twice inside
-    // verify — without caching those subtrees re-execute per consumer.
-    // Signatures have a single consumer (banding) — no cache needed.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
       .persist(lvl)
     val sigs = minHashSignatures(exploded, cfg, idCol)
     val cands = lshCandidates(lshBuckets(sigs, cfg, idCol), idCol)
       .persist(lvl)
-    jaccardVerify(exploded, cands, idCol)
+    val out = jaccardVerify(exploded, cands, idCol)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .persist(lvl)
+    out.count() // materialize via the cached fan-out points
+    exploded.unpersist(blocking = false)
+    cands.unpersist(blocking = false)
+    out
   }
 
   // ---------- SimHash ----------

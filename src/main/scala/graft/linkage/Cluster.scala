@@ -24,9 +24,26 @@ object Cluster {
       checkpointDir: Option[String] = None,
       maxIter: Int = 50)
 
-  /** edges: (id_a: long, id_b: long), undirected, self-loop-free.
+  /** edges: (id_a, id_b), undirected, self-loop-free. The id columns may
+    * be ANY orderable type — longs are the cheap default, but string
+    * conv_ids work unchanged (every per-round op is greatest/least/min/
+    * join/distinct), which is the >10⁹-records path where 64-bit hashed
+    * ids start risking collisions (see Pipeline.Config.hashNodeIds).
     * Returns (id, cluster_id) for every node APPEARING IN EDGES; callers
-    * attach singletons via [[labelRecords]]. */
+    * attach singletons via [[labelRecords]].
+    *
+    * Cache lifecycle: each round is lazily localCheckpoint()'d — the
+    * LOGICAL plan of a round references the previous round ~8× (largeStar
+    * and smallStar each fan out their input), so without per-round
+    * lineage truncation the plan tree grows exponentially and analysis
+    * OOMs by round ~10 (measured). The convergence-signature action is
+    * the round's single materializing job (round 2's eager checkpoint +
+    * signature ran two), and the previous round's checkpoint blocks are
+    * released via DatasetBridge as soon as the next is materialized —
+    * round 2's Dataset-level unpersist never freed them, leaking every
+    * round for the session. The returned labels are materialized into a
+    * CacheManager persist (callers unpersist when done) and all round
+    * state is released before returning. */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
                           opts: Options = Options()): DataFrame = {
     // fingerprint of the INPUT edge set, written into _cc_state.json with
@@ -39,22 +56,22 @@ object Cluster {
       case Some(dir) => resumeOrInit(spark, edges, dir, inputSig.get)
       case None => (normalize(edges), 0)
     }
-    // a resumed state is already parquet-backed; re-persisting it would
+    // a resumed state is already parquet-backed; re-checkpointing it would
     // overwrite the very files being read (self-overwrite ⇒ FILE_NOT_EXIST)
     if (startIter == 0) {
-      cur = cur.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+      cur = cur.localCheckpoint(eager = false)
     }
     var converged = false
     var iter = startIter
-    var prevSig = signature(cur)
+    var prevSig = signature(cur) // materializes the lazy checkpoint
     while (!converged && iter < opts.maxIter) {
       val ls = largeStar(cur)
       val ss = smallStar(ls)
       val next = persistRound(spark, ss, opts, iter, inputSig)
-      val sig = signature(next)
+      val sig = signature(next) // the round's one materializing job
       converged = sig == prevSig
       prevSig = sig
-      cur.unpersist()
+      org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(cur)
       cur = next
       iter += 1
     }
@@ -64,7 +81,11 @@ object Cluster {
     val roots = cur.select(col("lo").as("id")).distinct()
       .join(nodeToRoot.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cluster_id", col("id"))
-    nodeToRoot.unionByName(roots)
+    val labels = nodeToRoot.unionByName(roots)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize before releasing the final round state
+    org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(cur)
+    labels
   }
 
   /** Undirected edge set as (hi, lo) with hi > lo, deduped. */
@@ -128,7 +149,12 @@ object Cluster {
         spark.catalog.refreshByPath(path)
         spark.read.parquet(path)
       case _ =>
-        df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+        // lazy localCheckpoint: truncates the exponentially-fanning
+        // lineage; the convergence signature right after is the round's
+        // single materializing job. Truncation means a lost block is not
+        // recomputable — local-mode semantics; reliable deployments pass
+        // checkpointDir and get parquet-backed rounds instead.
+        df.localCheckpoint(eager = false)
     }
 
   private def writeState(spark: SparkSession, dir: String, iter: Int,

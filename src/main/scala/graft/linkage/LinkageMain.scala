@@ -136,6 +136,7 @@ object LinkageMain {
     println(s"[graft] linkage complete: " +
       s"${result.metrics.collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
         .mkString(", ")}")
+    result.unpersist() // release the run's internal cache handles
     spark.stop()
   }
 }

@@ -27,7 +27,10 @@ object Pipeline {
         * [zip, full text]; candidate links ARE the matches, no scoring. */
       exactAddresses: Boolean = false,
       /** pre-computed matched pairs (households.py --pairsfile): skip
-        * blocking + scoring entirely. */
+        * blocking + scoring entirely. `.csv` → the reference's own format
+        * (headerless two-column, households.py:92–93 / matching.py:305);
+        * otherwise parquet, whose id_a/id_b columns are selected BY NAME
+        * (round 2 trusted positional column order). */
       pairsFile: Option[String] = None,
       /** (tableName, numBuckets): persist the folded records (minus the
         * fat turns array) as a conv_id-bucketed catalog table and run the
@@ -35,9 +38,21 @@ object Pipeline {
         * with NO Exchange — at 100 TB the pairs relation scales with the
         * corpus, broadcasting it stops being possible, and the records
         * structs must not move; bucketing moves them exactly once, at
-        * write time. Off by default: below broadcast scale the in-memory
-        * path is faster (no table write). */
-      bucketedRecords: Option[(String, Int)] = None)
+        * write time. Below broadcast scale the in-memory path is faster
+        * (no table write), so bucketing turns itself on at
+        * [[autoBucketThreshold]] records when unset here. */
+      bucketedRecords: Option[(String, Int)] = None,
+      /** Records count at which the default run auto-switches to a
+        * bucketed attribute side (writes table "graft_records_auto").
+        * Below it the pairs relation is comfortably broadcast-sized and
+        * the table write would be pure overhead. */
+      autoBucketThreshold: Long = 1000000L,
+      /** Node-id domain for connected components. true (default): 64-bit
+        * xxhash64(conv_id) — cheapest shuffles; collision odds n²/2⁶⁴ are
+        * negligible below ~10⁹ records. false: the conv_id strings
+        * themselves — collision-free at any scale (the >10⁹ setting),
+        * paying wider shuffle keys. */
+      hashNodeIds: Boolean = true)
 
   case class Result(
       records: DataFrame,
@@ -46,44 +61,117 @@ object Pipeline {
       matchedPairs: DataFrame,
       labeledRecords: DataFrame,
       clusters: DataFrame,
-      metrics: DataFrame)
+      metrics: DataFrame,
+      /** Internal cache handles (records/scored/CC labels). The library
+        * persists exactly these during a run; callers release them when
+        * done with the Result's DataFrames via [[unpersist]] — the round-2
+        * API gave callers no handle and leaked them for the session. */
+      cached: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = cached.foreach(_.unpersist(false))
+  }
+
+  /** PII record columns every stage downstream of fold actually consumes
+    * (blocking: household_zip/addr/family_name; scoring: family_name/
+    * phone_number/addr; outputs: those + given_name/DOB/sex passthrough).
+    * This is the COMMON schema across every documented records source —
+    * Fold.fold output (which adds turns + timestamp ts_min/ts_max), the
+    * conv_id-bucketed table (no turns), and TranscriptStream.toRecords
+    * (no turns, day-string ts_min/ts_max). */
+  val piiCols: Seq[String] = Seq("conv_id", "given_name", "family_name",
+    "DOB", "sex", "phone_number", "household_zip", "addr")
 
   def run(spark: SparkSession, transcripts: DataFrame,
           cfg: Config = Config()): Result = {
     val records = Fold.fold(transcripts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRecords = records.count() // materializes the persist
 
-    // optional shuffle-free attribute side: write the folded records once,
-    // bucketed on the join key; every equi-join on conv_id then reads the
-    // table bucket-local (EnsureRequirements elides the Exchange)
+    // shuffle-free attribute side: write the folded records once, bucketed
+    // on the join key; every equi-join on conv_id then reads the table
+    // bucket-local (EnsureRequirements elides the Exchange). Explicit via
+    // cfg.bucketedRecords, or automatic once the corpus outgrows the
+    // broadcast-friendly regime (the default 100-TB run must not lean on
+    // broadcasting a corpus-proportional pairs relation).
     val attrSide = cfg.bucketedRecords match {
       case Some((table, buckets)) =>
         TableIO.writeBucketed(records.drop("turns"), table, "conv_id", buckets)
         TableIO.readTable(spark, table)
+      case None if nRecords >= cfg.autoBucketThreshold =>
+        val buckets = math.min(4096,
+          math.max(32, (nRecords / 250000L).toInt))
+        TableIO.writeBucketed(records.drop("turns"), "graft_records_auto",
+          "conv_id", buckets)
+        TableIO.readTable(spark, "graft_records_auto")
       case None => records
     }
 
     val passes = if (cfg.exactAddresses) Blocking.exactPasses else cfg.passes
     val pairs = cfg.pairsFile match {
-      case Some(path) => // S9-style pre-computed pairs, skip candidates
-        spark.read.parquet(path).toDF("id_a", "id_b")
+      case Some(path) => loadPairs(spark, path)
       case None => Candidates.candidates(attrSide, passes, cfg.candidates)
     }
-    val (scored, matched) =
+    val (scored, matched, scoredHandle) =
       if (cfg.pairsFile.isDefined || cfg.exactAddresses) {
         // exact mode: candidate links are already all pairs with equal
         // [zip, address] (matching.py:333–335) — no similarity scoring
-        (pairs, pairs)
+        (pairs, pairs, Nil)
       } else {
         val sc = Scoring.scorePairs(attrSide, pairs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (sc, Scoring.matches(sc))
+        (sc, Scoring.matches(sc), Seq(sc))
       }
 
-    // CC over hashed ids; map back to conv_id afterwards
-    val withNode = records.withColumn("node_id", xxhash64(col("conv_id")))
-    val edges = matched
-      .select(xxhash64(col("id_a")).as("a"), xxhash64(col("id_b")).as("b"))
+    val (labeled, labels) = clusterAndLabel(spark, records, matched, cfg)
+    val clustersDf = Output.clusters(labeled)
+
+    val metrics = metricsDf(spark, Seq(
+      ("records", nRecords),
+      ("candidate_pairs", pairs.count()),
+      ("scored_pairs_past_addr_prefilter", scored.count()),
+      ("matched_pairs", matched.count()),
+      ("clusters", clustersDf.count())))
+    cfg.metricsPath.foreach(p => TableIO.write(metrics, p))
+
+    Result(records, pairs, scored, matched, labeled, clustersDf, metrics,
+      cached = Seq(records) ++ scoredHandle ++ Seq(labels))
+  }
+
+  /** --pairsfile loader (households.py:92–93): `.csv` is the reference's
+    * headerless two-column format (matching.py:305 reads index_col=[0,1],
+    * header=None — column position IS the format); anything else is
+    * parquet with id_a/id_b selected by name. */
+  private[linkage] def loadPairs(spark: SparkSession, path: String)
+      : DataFrame =
+    if (path.endsWith(".csv")) {
+      val raw = spark.read.option("header", "false").csv(path)
+      require(raw.columns.length == 2,
+        s"pairs CSV $path must have exactly 2 columns " +
+          s"(reference format, matching.py:305); found ${raw.columns.length}")
+      raw.toDF("id_a", "id_b")
+    } else {
+      val p = spark.read.parquet(path)
+      require(p.columns.contains("id_a") && p.columns.contains("id_b"),
+        s"pairs parquet $path must carry id_a and id_b columns; " +
+          s"found [${p.columns.mkString(", ")}]")
+      p.select("id_a", "id_b")
+    }
+
+  /** CC over the matched pairs + label every record (singletons keep
+    * their own id). Node ids are xxhash64(conv_id) by default or the raw
+    * conv_id strings (cfg.hashNodeIds=false, the >10⁹-records setting) —
+    * either way the human-readable cluster id is min(conv_id). Returns
+    * (labeled records, labels cache handle). */
+  private def clusterAndLabel(spark: SparkSession, records: DataFrame,
+                              matched: DataFrame, cfg: Config)
+      : (DataFrame, DataFrame) = {
+    val (withNode, edges) =
+      if (cfg.hashNodeIds)
+        (records.withColumn("node_id", xxhash64(col("conv_id"))),
+          matched.select(xxhash64(col("id_a")).as("a"),
+            xxhash64(col("id_b")).as("b")))
+      else
+        (records.withColumn("node_id", col("conv_id")),
+          matched.select(col("id_a").as("a"), col("id_b").as("b")))
     val labels = Cluster.connectedComponents(spark, edges, cfg.ccOptions)
     val labeledByNode = Cluster.labelRecords(withNode, labels)
     // human-readable cluster id: min conv_id in the cluster
@@ -91,18 +179,7 @@ object Pipeline {
       .agg(min(col("conv_id")).as("cluster_key"))
     val labeled = labeledByNode.join(clusterName, Seq("cluster_id"))
       .drop("cluster_id").withColumnRenamed("cluster_key", "cluster_id")
-
-    val clustersDf = Output.clusters(labeled)
-
-    val metrics = metricsDf(spark, Seq(
-      ("records", records.count()),
-      ("candidate_pairs", pairs.count()),
-      ("scored_pairs_past_addr_prefilter", scored.count()),
-      ("matched_pairs", matched.count()),
-      ("clusters", clustersDf.count())))
-    cfg.metricsPath.foreach(p => TableIO.write(metrics, p))
-
-    Result(records, pairs, scored, matched, labeled, clustersDf, metrics)
+    (labeled, labels)
   }
 
   /** Incremental linkage — the daily-increment path a 100-TB deployment
@@ -119,14 +196,21 @@ object Pipeline {
     * cap (a full run drops the whole block). Matches found are never
     * retracted, which is the behavior an append-only deployment wants.
     *
-    * `existingRecords` must be the previous run's folded records (e.g.
-    * the conv_id-bucketed table), `previousMatches` its matched pairs. */
+    * `existingRecords` is the previous run's folded records from ANY of
+    * the documented sources — Result.records (still carrying turns +
+    * timestamp ts_min/ts_max), the conv_id-bucketed table (no turns), or
+    * TranscriptStream.toRecords output (no turns, day-string ts_min/
+    * ts_max); both sides are projected to the common [[piiCols]] schema
+    * before the union, so the source shapes interoperate.
+    * `previousMatches` is the previous run's matched pairs. */
   def incremental(spark: SparkSession, existingRecords: DataFrame,
                   previousMatches: DataFrame, newTranscripts: DataFrame,
                   cfg: Config = Config()): Result = {
     val newRecords = Fold.fold(newTranscripts)
+      .select(piiCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val all = existingRecords.unionByName(newRecords)
+    val all = existingRecords.select(piiCols.map(col): _*)
+      .unionByName(newRecords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val passes = if (cfg.exactAddresses) Blocking.exactPasses else cfg.passes
@@ -138,15 +222,7 @@ object Pipeline {
       .unionByName(Scoring.matches(scored))
       .dropDuplicates("id_a", "id_b")
 
-    val withNode = all.withColumn("node_id", xxhash64(col("conv_id")))
-    val edges = matched
-      .select(xxhash64(col("id_a")).as("a"), xxhash64(col("id_b")).as("b"))
-    val labels = Cluster.connectedComponents(spark, edges, cfg.ccOptions)
-    val labeledByNode = Cluster.labelRecords(withNode, labels)
-    val clusterName = labeledByNode.groupBy(col("cluster_id"))
-      .agg(min(col("conv_id")).as("cluster_key"))
-    val labeled = labeledByNode.join(clusterName, Seq("cluster_id"))
-      .drop("cluster_id").withColumnRenamed("cluster_key", "cluster_id")
+    val (labeled, labels) = clusterAndLabel(spark, all, matched, cfg)
     val clustersDf = Output.clusters(labeled)
 
     val metrics = metricsDf(spark, Seq(
@@ -157,7 +233,8 @@ object Pipeline {
       ("clusters", clustersDf.count())))
     cfg.metricsPath.foreach(p => TableIO.write(metrics, p))
 
-    Result(all, pairs, scored, matched, labeled, clustersDf, metrics)
+    Result(all, pairs, scored, matched, labeled, clustersDf, metrics,
+      cached = Seq(newRecords, all, scored, labels))
   }
 
   private def metricsDf(spark: SparkSession,

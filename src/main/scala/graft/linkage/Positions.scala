@@ -1,8 +1,7 @@
 package graft.linkage
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scalable global position assignment (W2 semantics, reference
   * households.py:190–193 / linkid_to_patid.py:84–90).
@@ -12,16 +11,20 @@ import org.apache.spark.storage.StorageLevel
   * a cluster (round 1 used it at four output edges; the "Moving all data
   * to a single partition" WARN was visible in the bench tail).
   *
-  * Scale-safe equivalent with identical output for a total order:
-  * range-partition by the key, sort within partitions, take the
-  * per-partition consecutive counter from monotonically_increasing_id
-  * (partition id in the upper bits, a 0-based consecutive counter in the
-  * low 33), then add per-partition offsets — the only driver-side data is
-  * one row count per shuffle partition.
+  * Scale-safe, leak-free equivalent for a total order: range-partition by
+  * the key, sort within partitions, then `zipWithIndex` on the pinned
+  * physical RDD. `.rdd` materializes the range exchange once (AQE runs
+  * the shuffle eagerly), so zipWithIndex's internal count job and the
+  * downstream consumption read the SAME shuffle output — the
+  * nondeterministic range-boundary sampling can't diverge between the
+  * two, which is what round 2's MEMORY_AND_DISK persist was guarding
+  * against. The persist (and its session-lifetime cache leak — every
+  * mappingFile/resolveLinks call stranded a cached copy of the corpus,
+  * VERDICT r02 #2) is gone: the only extra cost is one count job reading
+  * shuffle-local metadata, the only driver-side data one count per
+  * partition.
   */
 object Positions {
-
-  private val MonoCounterMask = (1L << 33) - 1
 
   /** Adds 0-based `posCol` dense positions in ascending `order`, equal to
     * `row_number().over(Window.orderBy(order)) - 1`. `order` must be a
@@ -29,30 +32,17 @@ object Positions {
     * same requirement the reference's positional files have. */
   def withPosition(df: DataFrame, order: Column, posCol: String): DataFrame = {
     val spark = df.sparkSession
-    // persist BEFORE the counts action: the counts job materializes the
-    // cache, so the consumption job sees the exact same partitions and
-    // the same (nondeterministic-flagged) monotonic ids
     val arranged = df
       .repartitionByRange(order)
       .sortWithinPartitions(order)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_mono", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = arranged.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("_n"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
-      (pid, acc + n)
+    val schema = StructType(
+      arranged.schema.fields :+ StructField(posCol, LongType, nullable = false))
+    // .rdd pins the physical plan: the range exchange executes here, and
+    // both zipWithIndex jobs (partition counts, then the indexed map)
+    // read its shuffle files — identical partitioning, no recompute.
+    val indexed = arranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
     }
-    val offsetRows = counts.map(_._1).zip(offsets.map(_._2))
-    import spark.implicits._
-    val offsetsDf = offsetRows.toSeq.toDF("_pid", "_offset")
-    arranged
-      .join(broadcast(offsetsDf), Seq("_pid"))
-      .withColumn(posCol,
-        col("_offset") + col("_mono").bitwiseAND(lit(MonoCounterMask)))
-      .drop("_pid", "_mono", "_offset")
+    spark.createDataFrame(indexed, schema)
   }
 }

@@ -53,6 +53,32 @@ class ClusterSpec extends AnyFunSuite with SparkFixture {
     assert(oursGroups == gxGroups)
   }
 
+  test("string node ids cluster identically (the >10⁹-records id domain)") {
+    import spark.implicits._
+    // same topology as "two components + chain", over conv_id strings —
+    // every per-round op (greatest/least/min/join/distinct) is
+    // type-generic, so no hashing to 64-bit is required
+    val edges = Seq(("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("x10", "x11"))
+      .toDF("a", "b")
+    val labels = Cluster.connectedComponents(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("c2", "c3", "c4").forall(labels(_) == "c1"))
+    assert(labels("x11") == "x10")
+    // and through the Pipeline config switch: conv_id-string nodes give
+    // the same clusters as the default hashed-id path
+    val t = linkage.SynthTranscripts.transcripts(spark,
+      linkage.SynthTranscripts.Config(seed = 11L, nConvs = 150, days = 5)).toDF
+    val hashed = linkage.Pipeline.run(spark, t)
+    val strings = linkage.Pipeline.run(spark, t,
+      linkage.Pipeline.Config(hashNodeIds = false))
+    val a = hashed.labeledRecords.select("conv_id", "cluster_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = strings.labeledRecords.select("conv_id", "cluster_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+    hashed.unpersist(); strings.unpersist()
+  }
+
   test("resume from checkpoint reproduces identical labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString

@@ -47,4 +47,44 @@ class IncrementalSpec extends AnyFunSuite with SparkFixture {
       newIds.contains(r.getString(0)) || newIds.contains(r.getString(1)))
     assert(touchingNew, "incremental candidates regenerated old-old pairs")
   }
+
+  test("every documented existingRecords shape feeds incremental") {
+    // ADVICE r02: round 2 only worked when existingRecords came from
+    // Result.records (which still carries turns + timestamp ts_min/
+    // ts_max); the bucketed table (no turns) and the streaming fold's
+    // toRecords (no turns, day-string ts) threw AnalysisException in the
+    // strict unionByName. incremental now projects both sides to the
+    // common piiCols schema first.
+    val cfg = SynthTranscripts.Config(seed = 23L, nConvs = 150)
+    val transcripts = SynthTranscripts.transcripts(spark, cfg).toDF.cache()
+    val t1 = transcripts.filter(pmod(xxhash64(col("conv_id")), lit(3)) =!= 0)
+    val t2 = transcripts.filter(pmod(xxhash64(col("conv_id")), lit(3)) === 0)
+    val first = Pipeline.run(spark, t1)
+    val expected = Pipeline.incremental(spark,
+      first.records, first.matchedPairs, t2)
+      .labeledRecords.select("conv_id", "cluster_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // shape 1: the conv_id-bucketed table (written without turns)
+    TableIO.writeBucketed(first.records.drop("turns"),
+      "graft_inc_shape_test", "conv_id", 4)
+    val fromTable = Pipeline.incremental(spark,
+      TableIO.readTable(spark, "graft_inc_shape_test"),
+      first.matchedPairs, t2)
+      .labeledRecords.select("conv_id", "cluster_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fromTable == expected)
+
+    // shape 2: the streaming fold's record shape (no turns, day-string
+    // ts_min/ts_max) — emulated exactly by projecting + stringifying
+    val streamShaped = first.records
+      .drop("turns")
+      .withColumn("ts_min", date_format(col("ts_min"), "yyyy-MM-dd"))
+      .withColumn("ts_max", date_format(col("ts_max"), "yyyy-MM-dd"))
+    val fromStream = Pipeline.incremental(spark,
+      streamShaped, first.matchedPairs, t2)
+      .labeledRecords.select("conv_id", "cluster_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fromStream == expected)
+  }
 }

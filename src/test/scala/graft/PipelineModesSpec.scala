@@ -52,6 +52,53 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
     assert(labeled("c1") != labeled("c2"))
   }
 
+  test("pairsfile accepts the reference's headerless CSV (matching.py:305)") {
+    val base = java.nio.file.Files.createTempDirectory("pairscsv").toString
+    val csv = s"$base/pairs.csv"
+    // reference format: header=None, two positional columns
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      "c1,c3\nc2,c4\n")
+    val result = Pipeline.run(spark, transcripts,
+      Pipeline.Config(pairsFile = Some(csv)))
+    assert(result.matchedPairs.count() == 2)
+    val labeled = result.labeledRecords
+      .select("conv_id", "cluster_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labeled("c1") == labeled("c3"))
+    assert(labeled("c2") == labeled("c4"))
+  }
+
+  test("pairsfile parquet selects id_a/id_b BY NAME, not position") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pairsnamed").toString
+    // column order deliberately scrambled + an extra column: positional
+    // toDF would mislabel these (round-2 bug)
+    Seq((0.9, "c3", "c1"), (0.8, "c4", "c2"))
+      .toDF("score", "id_b", "id_a")
+      .write.mode("overwrite").parquet(dir)
+    val result = Pipeline.run(spark, transcripts,
+      Pipeline.Config(pairsFile = Some(dir)))
+    val pairs = result.matchedPairs.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("c1", "c3"), ("c2", "c4")))
+  }
+
+  test("auto-bucketing flips on past the records threshold") {
+    // threshold 1: even this tiny corpus must take the bucketed-table
+    // attribute path, and clusters must match the in-memory path
+    val auto = Pipeline.run(spark, transcripts,
+      Pipeline.Config(autoBucketThreshold = 1))
+    assert(spark.catalog.tableExists("graft_records_auto"),
+      "auto path must have written the bucketed records table")
+    val plain = Pipeline.run(spark, transcripts)
+    val a = auto.labeledRecords.select("conv_id", "cluster_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = plain.labeledRecords.select("conv_id", "cluster_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+    auto.unpersist(); plain.unpersist()
+  }
+
   test("householddef: definitions file bypasses inference (households -d)") {
     import graft.linkage.{Extract, LinkageMain}
     val base = java.nio.file.Files.createTempDirectory("hhdef").toString
