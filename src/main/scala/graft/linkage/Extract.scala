@@ -60,6 +60,93 @@ object Extract {
     unknown ++ missing ++ dateFmt
   }
 
+  /** Dictionary names the reference's configs use for three HEADER fields
+    * (DATA_DICTIONARY, data_reader.py:13–44). */
+  private val DictAliases = Map(
+    "phone" -> "phone_number",
+    "address" -> "household_street_address",
+    "zip" -> "household_zip")
+
+  /** Python strftime → java.time pattern for the subset the reference's
+    * configs use (date_format, e.g. "%m/%d/%Y"). */
+  private[linkage] def strftimeToJava(fmt: String): String =
+    fmt.replace("%Y", "yyyy").replace("%y", "yy")
+      .replace("%m", "MM").replace("%d", "dd")
+      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+
+  /** Parse a REFERENCE-SHAPED translation config
+    * (testing-and-tuning/sample_conf.json): top-level `date_format`
+    * (strftime), `translation_map` with string-or-list source columns per
+    * dictionary name (phone/address/zip aliases resolved to HEADER
+    * names), nested `default_values` and `value_mapping_rules`.
+    *
+    * Keys of default_values / value_mapping_rules may be a dictionary
+    * name (target-level rule) or a SOURCE column name; the reference
+    * applies source-column rules before concatenation — with one
+    * approximation: a default/mapping keyed on one member of a
+    * multi-column source is attached to the whole target field here
+    * (documented; the sample configs only use it for blank-ish
+    * sentinels, which behave identically). */
+  def readTranslationConf(spark: SparkSession,
+                          path: String): TranslationConfig = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(txt)
+    val tm = root.path("translation_map")
+    val dateFmt = Option(root.get("date_format")).map(n =>
+      strftimeToJava(n.asText()))
+
+    import scala.jdk.CollectionConverters._
+    def fieldOf(dictName: String): String =
+      DictAliases.getOrElse(dictName, dictName)
+    // sources per target field
+    val sources: Map[String, Seq[String]] = tm.properties().asScala
+      .filterNot(e => Seq("default_values", "value_mapping_rules")
+        .contains(e.getKey))
+      .map { e =>
+        val srcs =
+          if (e.getValue.isArray) e.getValue.elements().asScala
+            .map(_.asText()).toSeq
+          else Seq(e.getValue.asText())
+        fieldOf(e.getKey) -> srcs
+      }.toMap
+    def targetOf(key: String): Option[String] = {
+      val direct = fieldOf(key)
+      if (Header.contains(direct)) Some(direct)
+      else sources.collectFirst {
+        case (f, srcs) if srcs.exists(_.equalsIgnoreCase(key)) => f
+      }
+    }
+    val defaults: Map[String, String] =
+      tm.path("default_values").properties().asScala.flatMap { e =>
+        targetOf(e.getKey).map(_ -> e.getValue.asText())
+      }.toMap
+    val valueMaps: Map[String, Map[String, String]] =
+      tm.path("value_mapping_rules").properties().asScala
+        .flatMap { e =>
+          targetOf(e.getKey).map { f =>
+            f -> e.getValue.properties().asScala
+              .map(r => r.getKey -> r.getValue.asText()).toMap
+          }
+        }
+        .groupBy(_._1).map { case (f, ms) =>
+          f -> ms.map(_._2).reduce(_ ++ _)
+        }
+    val fields = (sources.keySet ++ defaults.keySet ++ valueMaps.keySet)
+      .map { f =>
+        f -> FieldSpec(
+          sources = sources.getOrElse(f, Nil),
+          default = defaults.get(f),
+          valueMap = valueMaps.getOrElse(f, Map.empty),
+          dateFormat = if (f == "DOB") dateFmt else None)
+      }.toMap
+    TranslationConfig(fields)
+  }
+
   /** Case-insensitive source column resolution (map_key,
     * data_reader.py:117–125). */
   private def resolve(df: DataFrame, name: String): Option[Column] =

@@ -45,4 +45,21 @@ object Positions {
     }
     spark.createDataFrame(indexed, schema)
   }
+
+  /** 0-based SOURCE-ORDER positions — the reference's positional identity
+    * is literally "row index within the file" (linkid_to_patid.py:88–90
+    * indexes pii file lines), so the resolve compat edge must number rows
+    * in scan order, not key order. Scan order is well-defined for a
+    * single CSV file (partitions cover contiguous byte ranges in order)
+    * and for sorted-name shards; zipWithIndex preserves it. No sort, no
+    * shuffle, no caching. */
+  def withScanPosition(df: DataFrame, posCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(
+      df.schema.fields :+ StructField(posCol, LongType, nullable = false))
+    val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
+  }
 }

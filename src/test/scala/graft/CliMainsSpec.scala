@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.linkage._
+
+/** CLI parity mains (extract.py / garble.py / block.py /
+  * linkid_to_patid.py executables): one end-to-end chained run writing
+  * reference-shaped artifacts at every stage. */
+class CliMainsSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val base =
+    java.nio.file.Files.createTempDirectory("cli").toString
+  private def write(path: String, content: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, content)
+    path
+  }
+
+  test("ExtractMain: conf-mapped CSV → pii-<ts>.csv + metadata pair") {
+    // reference-shaped source (faker-sample style) + sample_conf shape
+    write(s"$base/source.csv",
+      "record_id,First Name,Last Name,DateOfBirth,Telephone Number," +
+        "Address Street,Address Detail,Zip\n" +
+      "p1,Ana,García,02/29/2000,(555) 123-4567,205 Garden St,Apt 5F,02139\n" +
+      "p2,Bob,Smith,01/15/1999,555.999.0000,1 Main St,N/A,02140\n")
+    write(s"$base/conf.json",
+      """{
+        "date_format": "%m/%d/%Y",
+        "translation_map": {
+          "record_id": "record_id",
+          "given_name": "First Name",
+          "family_name": "Last Name",
+          "DOB": "DateOfBirth",
+          "phone": "Telephone Number",
+          "address": ["Address Street", "Address Detail"],
+          "zip": "Zip",
+          "default_values": { "sex": "F" },
+          "value_mapping_rules": { "sex": { "Female": "F", "Male": "M" } }
+        }
+      }""")
+    val ts = ExtractMain.run(spark, Map(
+      "input" -> s"$base/source.csv", "conf" -> s"$base/conf.json",
+      "output" -> s"$base/temp-data", "verbose" -> "true"))
+    val (pii, meta) = Extract.readLatestPii(spark, s"$base/temp-data")
+    assert(meta("number_of_records") == "2")
+    assert(pii.columns.toSeq == Extract.Header)
+    val rows = pii.collect().map(r =>
+      r.getString(0) -> Extract.Header.zipWithIndex.map { case (h, i) =>
+        h -> r.getString(i) }.toMap).toMap
+    // clean_string'd names (NFKD → ascii → upper), digits-only phone,
+    // reformatted DOB, defaulted sex, concatenated address
+    assert(rows("p1")("given_name") == "ANA")
+    assert(rows("p1")("family_name") == "GARCIA")
+    assert(rows("p1")("phone_number") == "5551234567")
+    assert(rows("p1")("DOB") == "2000-02-29")
+    assert(rows("p1")("sex") == "F")
+    assert(rows("p1")("household_street_address") == "205 GARDEN ST APT 5F")
+    assert(ts.nonEmpty)
+  }
+
+  test("GarbleMain: newest pii → per-schema CLKs + metadata + zip") {
+    write(s"$base/secret.txt", "0123456789abcdef0123456789abcdef\n")
+    write(s"$base/schemas/name-dob.json",
+      """{"fields": ["given_name", "family_name", "DOB"],
+         "hashType": "blakeHash"}""")
+    val dirs = GarbleMain.run(spark, Map(
+      "piidir" -> s"$base/temp-data",
+      "schemadir" -> s"$base/schemas",
+      "secretfile" -> s"$base/secret.txt",
+      "output" -> s"$base/garbled"))
+    assert(dirs.size == 1)
+    assert(spark.read.json(dirs.head).count() == 2)
+    val meta = Extract.readMetadata(spark, s"$base/garbled/metadata.json")
+    assert(meta.contains("garble_time"))
+    assert(meta("number_of_records") == "2")
+    assert(new java.io.File(s"$base/garbled.zip").exists())
+  }
+
+  test("BlockMain: CLK tables → garbled_blocked.zip (block.py:49-52 shape)") {
+    BlockMain.run(spark, Map(
+      "clkpath" -> s"$base/garbled",
+      "output" -> s"$base/blockout"))
+    assert(new java.io.File(s"$base/blockout/garbled_blocked.zip").exists())
+    val blocks = spark.read.json(s"$base/blockout/blocked/name-dob")
+    // Λ=3 block keys per record, record identity = CLK scan position
+    assert(blocks.count() == 2 * 3)
+    assert(blocks.columns.toSet == Set("block_key", "record_index"))
+    assert(blocks.select("record_index").distinct().count() == 2)
+  }
+
+  test("ResolveMain: agent zips → linkid/householdid CSVs (file positions)") {
+    import scala.jdk.CollectionConverters._
+    def zipWithCsv(zipPath: String, member: String, csv: String): Unit = {
+      val out = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zipPath))
+      out.putNextEntry(new java.util.zip.ZipEntry(member))
+      out.write(csv.getBytes("UTF-8")); out.closeEntry(); out.close()
+    }
+    // pii source: positions are 0-based data-row order in THIS file
+    write(s"$base/resolve/pii.csv",
+      "record_id,given_name,family_name,DOB,sex,phone_number," +
+        "household_street_address,household_zip\n" +
+      "pA,X,Y,2000-01-01,F,1,1 A ST,0\n" +
+      "pB,X,Y,2000-01-02,M,2,2 B ST,0\n" +
+      "pC,X,Y,2000-01-03,F,3,3 C ST,0\n")
+    zipWithCsv(s"$base/resolve/links.zip", "links.csv",
+      "LINK_ID,position\nL9,2\nL7,0\n")
+    // household pii: HOUSEHOLD_PII_HEADERS shape with comma-joined ids
+    write(s"$base/resolve/hh.csv",
+      "family_name,phone_number,household_street_address,household_zip," +
+        "record_ids\n" +
+      "Y,1,1 A ST,0,\"pA,pB\"\n" +
+      "Y,3,3 C ST,0,pC\n")
+    zipWithCsv(s"$base/resolve/hhlinks.zip", "hh_links.csv",
+      "HOUSEHOLD_ID,household_position\nH1,0\nH2,1\n")
+
+    ResolveMain.run(spark, Map(
+      "sourcefile" -> s"$base/resolve/pii.csv",
+      "linkszip" -> s"$base/resolve/links.zip",
+      "hhsourcefile" -> s"$base/resolve/hh.csv",
+      "hhlinkszip" -> s"$base/resolve/hhlinks.zip",
+      "output" -> s"$base/resolve/out"))
+
+    val links = spark.read.option("header", "true")
+      .csv(s"$base/resolve/out/linkid_to_patid_csv")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(links == Map("L9" -> "pC", "L7" -> "pA"))
+    val hh = spark.read.option("header", "true")
+      .csv(s"$base/resolve/out/householdid_to_patid_csv")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hh == Set(("H1", "pA"), ("H1", "pB"), ("H2", "pC")))
+  }
+
+  test("ResolveMain metadata gate blocks mismatched runs unless forced") {
+    write(s"$base/gate/meta.json", """{"number_of_records": "99"}""")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$base/gate/links.zip"))
+    out.putNextEntry(new java.util.zip.ZipEntry("metadata.json"))
+    out.write("""{"number_of_records": "2"}""".getBytes("UTF-8"))
+    out.closeEntry()
+    out.putNextEntry(new java.util.zip.ZipEntry("links.csv"))
+    out.write("LINK_ID,position\n".getBytes("UTF-8"))
+    out.closeEntry(); out.close()
+    val opts = Map(
+      "metadata" -> s"$base/gate/meta.json",
+      "linkszip" -> s"$base/gate/links.zip",
+      "output" -> s"$base/gate/out")
+    intercept[IllegalArgumentException] { ResolveMain.run(spark, opts) }
+    ResolveMain.run(spark, opts + ("force" -> "true")) // forced: no throw
+  }
+}
