@@ -367,15 +367,23 @@ object Queries {
     // an end-to-end value oracle for the whole minhash pipeline.
     // (Full-corpus near-dup output stays covered by DataOpsSpec; corpus
     // pairs at s≈0.5 have no recall guarantee and can't be oracle'd.)
+    //
+    // Recall bound (SF-dependent by nature — LSH recall is probabilistic
+    // in the data, so the construction keeps the planted pairs far from
+    // the s^r cliff at ANY testdata dir): garbles APPEND one token
+    // (keeps every original shingle — replacing one word costs 6 of the
+    // set, appending costs 3 additions) and only docs with ≥ 50 tokens
+    // are planted, so s = (T-2)/(T+1) ≥ 0.94 and per-pair miss
+    // (1-s^8)^8 ≤ 5e-4 — verified caught at sf0.001/0.01/0.1. Corpus
+    // pairs (s≈0.3) stay at s^8≈7e-5 per band, keeping the verify join
+    // linear, not quadratic (r=8 rows/band).
     "q_minhash_neardups" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") < 50)
+      val planted = docs
+        .filter(col("doc_id") < 50 &&
+          size(split(trim(col("text")), "\\s+")) >= 50)
         .select((col("doc_id") + 100000).as("doc_id"),
-          regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
-      // r=8 rows/band: planted one-word garbles sit at s ≥ 0.8 (all 50
-      // caught at sf0.01, deterministic under the fixed seed), while the
-      // shared-vocabulary corpus pairs (s≈0.3) get s^8≈7e-5 per band —
-      // keeps the verify join linear, not quadratic
+          concat(col("text"), lit(" PLANTEDMARKER")).as("text"))
       graft.data.Dedup.minHashNearDups(docs.unionByName(planted),
         graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.5))
         .filter(col("id_a") < 50 && col("id_b") === col("id_a") + 100000)
@@ -706,9 +714,11 @@ object Queries {
          FROM embeddings ORDER BY vec_id""",
 
     "q_minhash_neardups" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 50 AND
+                         len(regexp_split_to_array(trim(text), '\s+')) >= 50),
          pl AS (SELECT doc_id + 100000 AS doc_id,
-                  regexp_replace(text, '^\S+', 'PLANTED') AS text FROM base),
+                  text || ' PLANTEDMARKER' AS text FROM base),
          sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
                   THEN [array_to_string(toks[i:i+2], ' ')
                         FOR i IN generate_series(1, len(toks) - 2)]

@@ -36,12 +36,24 @@ object TableIO {
     * Uses the session catalog (saveAsTable is how Spark persists bucket
     * metadata); `database`.`name` table identifier. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // saveAsTable(overwrite) refuses to ADOPT a warehouse directory that
+    // exists without a catalog entry (LOCATION_ALREADY_EXISTS) — exactly
+    // what a table written by a previous session/JVM leaves behind, since
+    // the in-memory catalog dies with the session but spark-warehouse/
+    // does not. Drop any catalog entry, then clear the orphan location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
