@@ -406,7 +406,13 @@ object Queries {
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
-      val sigs = graft.data.Dedup.simHash(docs.unionByName(planted))
+      // md5-derived 60-bit token hash so DuckDB can recompute the exact
+      // signatures (library default stays xxhash64); LSH banding is
+      // pigeonhole-exact at d=3, so the all-pairs oracle set matches
+      val md5h = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val sigs = graft.data.Dedup.simHash(docs.unionByName(planted),
+        hash = md5h)
       graft.data.Dedup.simHashNearDups(sigs, maxDistance = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -679,6 +685,40 @@ object Queries {
             FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS prev_ts FROM events))
          GROUP BY user_id ORDER BY user_id""",
+
+    // exact replica of Dedup.simHash over the md5-60-bit token hash; the
+    // all-pairs d<=3 set equals the banded-LSH result (pigeonhole)
+    "q_simhash_neardups" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  regexp_replace(text, '^\S+', 'PLANTED') AS text
+           FROM documents WHERE doc_id < 50
+         ), toks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM all_docs
+         ), hs AS (
+           SELECT doc_id,
+                  ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+           FROM toks
+         ), votes AS (
+           SELECT doc_id, i,
+                  sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM hs, generate_series(0, 63) AS g(i)
+           GROUP BY doc_id, i
+         ), sig AS (
+           SELECT doc_id, bit_or(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                                      ELSE 0::BIGINT END) AS simhash
+           FROM votes GROUP BY doc_id
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                  AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY id_a, id_b""",
 
     "q_token_count" ->
       """SELECT doc_id,

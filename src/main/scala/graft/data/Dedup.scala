@@ -223,12 +223,13 @@ object Dedup {
     * Same values as round 1's 64 sum-aggregate columns without their
     * codegen girth, and no interpreted per-row lambda. */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              hash: Column => Column = xxhash64(_)): DataFrame = {
     val idx = array((0 until 64).map(lit): _*)
     docs
       .select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"),
+      .select(col(idCol), hash(col("tok")).as("h"),
         explode(idx).as("i"))
       .select(col(idCol), col("i"),
         when(call_function("shiftrightunsigned", col("h"), col("i"))

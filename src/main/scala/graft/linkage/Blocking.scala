@@ -39,6 +39,19 @@ object Blocking {
   def blockKey(keys: Seq[String]): Column =
     concat_ws(KeySep, keys.map(col): _*)
 
+  /** (pass, block_key, conv_id) for ALL passes in one scan: each record
+    * explodes into one row per pass. One relation → one downstream
+    * count-aggregate and one pair join instead of a per-pass plan union
+    * (Candidates.candidates). */
+  def keyedAll(records: DataFrame, passes: Seq[Pass]): DataFrame =
+    records
+      .filter(col("addr.full") =!= "")
+      .select(col("conv_id"), explode(array(passes.map(p =>
+        struct(lit(p.name).as("pass"),
+          blockKey(p.keys).as("block_key"))): _*)).as("pb"))
+      .select(col("pb.pass").as("pass"),
+        col("pb.block_key").as("block_key"), col("conv_id"))
+
   /** (pass, block_key, conv_id) for one pass, address-present rows only. */
   def keyed(records: DataFrame, pass: Pass): DataFrame =
     records

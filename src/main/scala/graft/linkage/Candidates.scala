@@ -24,19 +24,34 @@ object Candidates {
   case class Config(
       ratioMax: Double = 0.02,   // p-sig "filter" ratio
       minBlockCap: Long = 50,    // floor so tiny corpora keep their blocks
-      saltThreshold: Long = 4096,// blocks bigger than this get salted
-      salts: Int = 16)
+      saltThreshold: Long = 4096,// target max rows per join bucket
+      salts: Int = 16)           // ceiling on per-block salt count
 
-  /** Pairs (id_a < id_b) from all passes over the records. */
+  /** Pairs (id_a < id_b) from all passes over the records.
+    *
+    * ONE plan for all passes: the passes' keys are exploded into a single
+    * (pass, block_key, conv_id) relation, block sizes come from one
+    * hash-aggregate (the post-cap counts side is tiny → AQE broadcasts
+    * it back, so the fat side shuffles only for the pair join), and every
+    * block goes through the same triangle join with an ADAPTIVE salt
+    * count ceil(n / saltThreshold) — 1 for ordinary blocks (degenerates
+    * to the plain a<b self-join), up to `salts` for hot ones. Both join
+    * children are the same subplan, so Spark reuses one Exchange for the
+    * two sides. Round 2 ran a per-pass small/big two-branch union that
+    * recomputed keying+counts four times (~10 small shuffles, measured
+    * ~4.5 s of the sf0.1 linkage wall); this shape is 3 exchanges total
+    * and is also the 100-TB plan: no branch cliff at saltThreshold, skew
+    * handled per-block, AQE as backstop. */
   def candidates(records: DataFrame, passes: Seq[Blocking.Pass],
                  cfg: Config = Config()): DataFrame = {
     val total = records.count()
     val cap = math.max(cfg.minBlockCap, (cfg.ratioMax * total).toLong)
-    val perPass = passes.map { p =>
-      pairsForPass(Blocking.keyed(records, p), cap, cfg)
-    }
-    perPass.reduce(_ unionByName _)
-      .dropDuplicates("id_a", "id_b")
+    val keyed = Blocking.keyedAll(records, passes)
+    val counts = keyed.groupBy("pass", "block_key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cap)
+    val kept = keyed.join(counts, Seq("pass", "block_key"))
+    saltedPairs(kept, cfg).dropDuplicates("id_a", "id_b")
   }
 
   /** Incremental candidates: pairs where AT LEAST ONE side is a new
@@ -70,54 +85,35 @@ object Candidates {
       .dropDuplicates("id_a", "id_b")
   }
 
-  private def pairsForPass(keyed: DataFrame, cap: Long,
-                           cfg: Config): DataFrame = {
-    val counts = keyed.groupBy("block_key").agg(count(lit(1)).as("n"))
-    val kept = keyed.join(
-      counts.filter(col("n") <= cap), Seq("block_key"))
-
-    val small = kept.filter(col("n") <= cfg.saltThreshold)
-    val big = kept.filter(col("n") > cfg.saltThreshold)
-
-    val smallPairs = selfJoinPairs(small.drop("n"))
-    val bigPairs = saltedSelfJoinPairs(big.drop("n"), cfg.salts)
-    smallPairs.unionByName(bigPairs)
-  }
-
-  /** Plain blocked self-join with a<b dedup (matching.py:450–461).
-    * The right side's key is re-aliased so the equi-join condition binds
-    * two distinct attributes (no reliance on Spark's self-join
-    * disambiguation). */
-  private def selfJoinPairs(keyed: DataFrame): DataFrame = {
-    val l = keyed.select(col("block_key"), col("conv_id").as("id_a"))
-    val r = keyed.select(col("block_key").as("bk_r"),
-      col("conv_id").as("id_b"))
-    l.join(r, col("block_key") === col("bk_r") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-  }
-
-  /** Triangle-salted self-join: every pair lands in exactly one
-    * (block_key, bucket). */
-  private def saltedSelfJoinPairs(keyed: DataFrame, s: Int): DataFrame = {
-    val salted = keyed.withColumn("salt",
-      pmod(xxhash64(col("conv_id")), lit(s)).cast("int"))
-    val replicated = salted
-      .withColumn("other", explode(sequence(lit(0), lit(s - 1))))
-      .withColumn("b_lo", least(col("salt"), col("other")))
-      .withColumn("b_hi", greatest(col("salt"), col("other")))
-      .drop("other")
-    val l = replicated.select(col("block_key"), col("b_lo"), col("b_hi"),
-      col("conv_id").as("id_a"), col("salt").as("salt_a"))
-    val r = replicated.select(col("block_key").as("bk_r"), col("b_lo").as("lo_r"),
-      col("b_hi").as("hi_r"), col("conv_id").as("id_b"),
-      col("salt").as("salt_b"))
-    l.join(r,
-        col("block_key") === col("bk_r") &&
-        col("b_lo") === col("lo_r") && col("b_hi") === col("hi_r") &&
-        col("id_a") < col("id_b"))
+  /** Adaptive triangle-salted self-join over (pass, block_key) with the
+    * block size `n` already attached. Each row gets salt
+    * h(conv_id) mod s where s = min(ceil(n/saltThreshold), salts), and
+    * is replicated into the s sorted buckets {(min(salt,t), max(salt,t))};
+    * pairs join on (pass, block_key, bucket) and are kept only in the
+    * bucket equal to their own sorted salt pair, so every a<b pair
+    * appears exactly once. s == 1 (the common case) replicates nothing
+    * and the bucket filter is trivially true — identical to the plain
+    * blocked self-join. Both join children reference the same `replicated`
+    * plan, so the shuffle Exchange is planned once and reused. */
+  private def saltedPairs(kept: DataFrame, cfg: Config): DataFrame = {
+    val replicated = kept
+      .withColumn("s", least(
+        ceil(col("n").cast("double") / cfg.saltThreshold),
+        lit(cfg.salts.toLong)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("conv_id")), col("s")).cast("int"))
+      .withColumn("other", explode(sequence(lit(0), col("s") - 1)))
+      .select(col("pass"), col("block_key"),
+        least(col("salt"), col("other")).as("b_lo"),
+        greatest(col("salt"), col("other")).as("b_hi"),
+        col("conv_id"), col("salt"))
+    replicated.as("l").join(replicated.as("r"),
+        col("l.pass") === col("r.pass") &&
+        col("l.block_key") === col("r.block_key") &&
+        col("l.b_lo") === col("r.b_lo") && col("l.b_hi") === col("r.b_hi") &&
+        col("l.conv_id") < col("r.conv_id"))
       // count each pair once: only in the bucket equal to its salt pair
-      .filter(col("b_lo") === least(col("salt_a"), col("salt_b")) &&
-        col("b_hi") === greatest(col("salt_a"), col("salt_b")))
-      .select("id_a", "id_b")
+      .filter(col("l.b_lo") === least(col("l.salt"), col("r.salt")) &&
+        col("l.b_hi") === greatest(col("l.salt"), col("r.salt")))
+      .select(col("l.conv_id").as("id_a"), col("r.conv_id").as("id_b"))
   }
 }

@@ -102,12 +102,15 @@ object ExtractMain {
   *
   *   spark-submit --class graft.linkage.GarbleMain <jar> \
   *     --schemadir <dir> --secretfile <file> --output <dir> \
-  *     (--piidir <temp-data dir> | --input <pii csv>)
+  *     (--piidir <temp-data dir> | --input <pii csv>) [--exact-crypto]
+  *
+  * --exact-crypto switches from the fast seeded-murmur CLK to the
+  * anonlink blakeHash strategy (keyed blake2b + HKDF field keys).
   */
 object GarbleMain {
   def main(args: Array[String]): Unit = {
     val spark = Cli.session("graft-garble")
-    run(spark, Cli.parse(args))
+    run(spark, Cli.parse(args, flags = Set("exact-crypto")))
     spark.stop()
   }
 
@@ -126,7 +129,8 @@ object GarbleMain {
     val garbleTime = java.time.LocalDateTime.now().format(
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
     val dirs = Garble.garbleFlow(records,
-      Cli.required(opts, "schemadir"), secret, out, meta, garbleTime)
+      Cli.required(opts, "schemadir"), secret, out, meta, garbleTime,
+      exactCrypto = opts.contains("exact-crypto"))
     println(s"[graft] garble complete: ${dirs.size} schema(s) → $out.zip")
     dirs
   }
@@ -191,6 +195,68 @@ object BlockMain {
     Garble.zipDirectory(spark, s"$out/blocked", s"$out/garbled_blocked.zip")
     println(s"[graft] block complete: ${clkTables.size} CLK table(s) → " +
       s"$out/garbled_blocked.zip")
+  }
+}
+
+/** data_analysis.py analog: PII profiling reports over a pii CSV.
+  *
+  *   spark-submit --class graft.linkage.AnalyzeMain <jar> \
+  *     --csv <pii csv> --output <dir> [--source <tag>]
+  *
+  * Writes results_<source>.json.txt (aggregate stats) and
+  * private_results_<source>.json.txt (PII-bearing top-10s) — the
+  * reference's two-file split (data_analysis.py:179–197).
+  */
+object AnalyzeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = Cli.session("graft-analyze")
+    run(spark, Cli.parse(args))
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): (String, String) = {
+    val df = Extract.readCsvAllStrings(spark, Cli.required(opts, "csv"))
+    val out = Analyze.writeReports(df, Cli.required(opts, "output"),
+      source = opts.getOrElse("source", "csv"))
+    println(s"[graft] Wrote aggregate results to ${out._1}")
+    println(s"[graft] Wrote PRIVATE results to ${out._2}")
+    out
+  }
+}
+
+/** validate_metadata.py analog: diff the metadata member of the garbled
+  * source zip against the linkage agent's results zip.
+  *
+  *   spark-submit --class graft.linkage.ValidateMetadataMain <jar> \
+  *     --source <garbled zip> --linkage <results zip> [--verbose]
+  *
+  * Prints "Validation Successful/Failed" with the issue count
+  * (validate_metadata.py:73–85); returns the issue list for callers.
+  * The linkage zip's nested input_system_metadata keys are picked up by
+  * the same flat string-pair reader the metadata sink writes with.
+  */
+object ValidateMetadataMain {
+  def main(args: Array[String]): Unit = {
+    val spark = Cli.session("graft-validate-metadata")
+    val issues = run(spark, Cli.parse(args, flags = Set("verbose")))
+    spark.stop()
+    if (issues.nonEmpty) sys.exit(1)
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): Seq[String] = {
+    def meta(path: String): Map[String, String] =
+      Resolve.metadataFromZip(spark, path).getOrElse {
+        println(s"WARNING: could not find metadata file in $path")
+        Map.empty
+      }
+    val source = meta(Cli.required(opts, "source"))
+    val linkage = meta(Cli.required(opts, "linkage"))
+    val issues = Resolve.metadataDiff(source, linkage)
+    if (issues.nonEmpty) {
+      println(s"Validation Failed: \nFound ${issues.length} issues")
+      if (opts.contains("verbose")) issues.foreach(i => println("\t" + i))
+    } else println(s"Validation Successful: Found ${issues.length} issues")
+    issues
   }
 }
 

@@ -59,6 +59,19 @@ object Garble {
       gf.clk_encode(seedOf(subkey), schema.fields.map(col): _*).as("clk"))
   }
 
+  /** Crypto-grade CLKs — the anonlink "blakeHash" strategy itself:
+    * HKDF-SHA256 per-field keys + keyed blake2b-512 per bigram
+    * (crypto.ClkCrypto; RFC-vector-tested primitives). Same 4096-bit
+    * output shape as [[clks]]; ~an order of magnitude more hash work per
+    * record, so it is the opt-in interop path, not the bench default. */
+  def clksExact(records: DataFrame, schema: ClkSchema, secret: String,
+                context: String = "individuals"): DataFrame = {
+    validateSchema(schema)
+    val subkey = deriveSubkey(validateSecret(secret), context)
+    records.select(col("conv_id"),
+      gf.clk_encode_blake(subkey, schema.fields.map(col): _*).as("clk"))
+  }
+
   /** Household CLKs from cluster representatives
     * (households.py:308–334 analog). */
   def householdClks(clusters: DataFrame, secret: String): DataFrame = {
@@ -137,7 +150,7 @@ object Garble {
     * of written CLK table paths. */
   def garbleFlow(records: DataFrame, schemaDir: String, secret: String,
                  outDir: String, metadata: Map[String, String],
-                 garbleTime: String): Seq[String] = {
+                 garbleTime: String, exactCrypto: Boolean = false): Seq[String] = {
     val spark = records.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(schemaDir), spark.sparkContext.hadoopConfiguration)
@@ -149,7 +162,9 @@ object Garble {
     val clkDirs = schemaPaths.map { p =>
       val schema = readSchema(spark, p.toString)
       val dir = s"$outDir/${p.getName.stripSuffix(".json")}"
-      writeClksJson(clks(records, schema, secret), dir)
+      val encoded = if (exactCrypto) clksExact(records, schema, secret)
+                    else clks(records, schema, secret)
+      writeClksJson(encoded, dir)
       val written = spark.read.json(dir).count()
       expected.foreach(e => require(written == e,
         s"Expected $e in $dir, found $written"))

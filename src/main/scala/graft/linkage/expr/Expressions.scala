@@ -168,6 +168,32 @@ case class ClkEncode(children: Seq[Expression], secretSeed: Int)
     copy(children = newChildren)
 }
 
+/** Crypto-grade CLK encode (anonlink "blakeHash" strategy): keyed
+  * blake2b-512 per bigram with HKDF-SHA256 per-field keys — see
+  * [[graft.linkage.crypto.ClkCrypto]]. Keys are derived once per
+  * executor from the secret (transient lazy), not shipped in the plan. */
+case class ClkEncodeBlake(children: Seq[Expression], secretHex: String)
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "clk_encode_blake"
+  @transient private lazy val keys =
+    graft.linkage.crypto.ClkCrypto.fieldKeys(secretHex, children.size)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fields = new Array[String](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      fields(i) = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+      i += 1
+    }
+    graft.linkage.crypto.ClkCrypto.encode(fields, keys)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ClkEncodeBlake =
+    copy(children = newChildren)
+}
+
 /** λ-fold blocking keys from a CLK → array<long> of Λ keys (F9). */
 case class LambdaFoldKeys(child: Expression, lambda: Int, bfLen: Int,
                           k: Int, seed: Int)

@@ -16,6 +16,8 @@ object functions {
   def metaphone_sig(c: Column): Column = col_(MetaphoneExpr(expr_(c)))
   def clk_encode(secretSeed: Int, fields: Column*): Column =
     col_(ClkEncode(fields.map(expr_), secretSeed))
+  def clk_encode_blake(secretHex: String, fields: Column*): Column =
+    col_(ClkEncodeBlake(fields.map(expr_), secretHex))
   def lambda_fold_keys(clk: Column, lambda: Int = 3, bfLen: Int = 64,
                        k: Int = 5, seed: Int = 0): Column =
     col_(LambdaFoldKeys(expr_(clk), lambda, bfLen, k, seed))

@@ -132,6 +132,79 @@ class CliMainsSpec extends AnyFunSuite with SparkFixture {
     assert(hh == Set(("H1", "pA"), ("H1", "pB"), ("H2", "pC")))
   }
 
+  test("GarbleMain --exact-crypto: blake2b CLKs, same shape, different bits") {
+    // self-contained inputs (this test must not lean on earlier tests)
+    write(s"$base/ec/pii.csv",
+      "record_id,given_name,family_name,DOB,sex,phone_number," +
+        "household_street_address,household_zip\n" +
+      "pA,ANA,GARCIA,2000-02-29,F,5551234567,205 GARDEN ST,02139\n" +
+      "pB,BOB,SMITH,1999-01-15,M,5559990000,1 MAIN ST,02140\n")
+    write(s"$base/ec/secret.txt", "0123456789abcdef0123456789abcdef\n")
+    write(s"$base/ec/schemas/name-dob.json",
+      """{"fields": ["given_name", "family_name", "DOB"],
+         "hashType": "blakeHash"}""")
+    val common = Map(
+      "input" -> s"$base/ec/pii.csv",
+      "schemadir" -> s"$base/ec/schemas",
+      "secretfile" -> s"$base/ec/secret.txt")
+    val fast = GarbleMain.run(spark,
+      common + ("output" -> s"$base/ec/garbled-fast"))
+    val exact = GarbleMain.run(spark,
+      common + ("output" -> s"$base/ec/garbled-exact",
+        "exact-crypto" -> "true"))
+    val f = spark.read.json(fast.head).orderBy("clks").collect()
+      .map(_.getString(0))
+    val e = spark.read.json(exact.head).orderBy("clks").collect()
+      .map(_.getString(0))
+    assert(f.length == 2 && e.length == 2)
+    // same 4096-bit envelope (base64 of 512 bytes — Spark's base64 is
+    // MIME-chunked with CRLF line breaks), different encodings
+    assert(e.forall(s =>
+      java.util.Base64.getMimeDecoder.decode(s).length == 512))
+    assert(f.toSet != e.toSet,
+      "blakeHash CLKs must differ from the murmur stand-in's")
+  }
+
+  test("AnalyzeMain: pii csv → aggregate + private report files") {
+    write(s"$base/an/pii.csv",
+      "record_id,given_name,family_name,DOB,sex,phone_number," +
+        "household_street_address,household_zip\n" +
+      "pA,X,Y,2000-01-01,F,5551111111,1 A ST,02139\n" +
+      "pB,X,Y,2000-01-02,M,5552222222,2 B ST,02139\n" +
+      "pC,X,Y,2000-01-03,F,5553333333,3 C ST,02140\n")
+    val (statsPath, rawPath) = AnalyzeMain.run(spark, Map(
+      "csv" -> s"$base/an/pii.csv",
+      "output" -> s"$base/analyzeout"))
+    def slurp(p: String): String =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    val stats = slurp(statsPath)
+    assert(stats.contains("\"number_of_rows\": 3"))
+    assert(stats.contains("total_unique_record_ids"))
+    assert(slurp(rawPath).contains("top_10_family_names"))
+  }
+
+  test("ValidateMetadataMain: agreeing zips pass, disagreeing ones listed") {
+    def zipWithMeta(zipPath: String, json: String): Unit = {
+      val out = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zipPath))
+      out.putNextEntry(new java.util.zip.ZipEntry("metadata.json"))
+      out.write(json.getBytes("UTF-8")); out.closeEntry(); out.close()
+    }
+    new java.io.File(s"$base/vm").mkdirs()
+    zipWithMeta(s"$base/vm/src.zip", """{"number_of_records": "2"}""")
+    zipWithMeta(s"$base/vm/agree.zip",
+      """{"input_system_metadata": {"number_of_records": "2"}}""")
+    zipWithMeta(s"$base/vm/clash.zip",
+      """{"input_system_metadata": {"number_of_records": "7"}}""")
+    assert(ValidateMetadataMain.run(spark, Map(
+      "source" -> s"$base/vm/src.zip",
+      "linkage" -> s"$base/vm/agree.zip")).isEmpty)
+    val issues = ValidateMetadataMain.run(spark, Map(
+      "source" -> s"$base/vm/src.zip",
+      "linkage" -> s"$base/vm/clash.zip", "verbose" -> "true"))
+    assert(issues.exists(_.contains("number_of_records")))
+  }
+
   test("ResolveMain metadata gate blocks mismatched runs unless forced") {
     write(s"$base/gate/meta.json", """{"number_of_records": "99"}""")
     val out = new java.util.zip.ZipOutputStream(
