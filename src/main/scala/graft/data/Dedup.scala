@@ -97,7 +97,10 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       jaccardThreshold: Double = 0.7,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      /** one-permutation hashing: 1 hash/shingle instead of numHashes —
+        * the at-scale signature path (see minHashSignaturesOPH) */
+      oph: Boolean = false)
 
   /** MinHash signatures: (id, sig: array<long> of numHashes mins) from
     * the exploded (id, shingle) relation. hash_i(shingle) =
@@ -129,6 +132,49 @@ object Dedup {
       .agg(transform(
         array_sort(collect_list(struct(col("i"), col("mh")))),
         s => s.getField("mh")).as("sig"))
+  }
+
+  /** One-permutation MinHash signatures (Li/Owen/Zhang OPH with
+    * rotation densification): ONE xxhash64 per shingle instead of k.
+    * The single hash is range-bucketed into k bins (pmod(h, k)); the
+    * per-bin min is the signature slot; empty bins borrow the next
+    * filled bin's value cyclically, offset by the distance t so
+    * different empty-run lengths can't collide spuriously.
+    *
+    * This is the 100-TB signature path: the standard plan's k-way
+    * explode does k hash ops per shingle and k·|shingles| generated
+    * rows; OPH does 1 hash per shingle and shuffles the same tiny
+    * (id, bin)→min relation. Statistically OPH's pair-collision
+    * probability is the same E[agree] = Jaccard, with slightly higher
+    * variance for docs with ≪ k shingles — and the pipeline's
+    * exact-Jaccard verify stage makes precision exact regardless; only
+    * recall is approximate, as with any LSH. The densification scan is
+    * O(k²) per DOC (interpreted HOF over ≤64-element arrays, once per
+    * doc at assembly) — orders of magnitude below the k hashes per
+    * SHINGLE it replaces. */
+  def minHashSignaturesOPH(exploded: DataFrame, cfg: MinHashConfig,
+                           idCol: String = "doc_id"): DataFrame = {
+    val k = cfg.numHashes
+    val binned = exploded
+      .select(col(idCol), xxhash64(lit(cfg.seed), col("shingle")).as("h"))
+      .withColumn("bin", pmod(col("h"), lit(k.toLong)).cast("int"))
+      .groupBy(col(idCol), col("bin"))
+      .agg(min(col("h")).as("mh"))
+    binned.groupBy(col(idCol))
+      .agg(
+        map_from_entries(array_sort(
+          collect_list(struct(col("bin"), col("mh"))))).as("m"),
+        array_sort(collect_list(col("bin"))).as("bins"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(k - 1)), j => {
+          // nearest filled bin at/after j, wrapping to the first
+          // (try_element_at: ANSI element_at throws on the empty
+          // filter() result before coalesce can fall through)
+          val b = coalesce(try_element_at(filter(col("bins"), _ >= j), lit(1)),
+            element_at(col("bins"), 1))
+          val t = when(b >= j, b - j).otherwise(b - j + k)
+          element_at(col("m"), b) + t.cast("long")
+        }).as("sig"))
   }
 
   /** LSH band buckets: (id, band, bucket). r = numHashes/bands rows per
@@ -199,7 +245,8 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
       .persist(lvl)
-    val sigs = minHashSignatures(exploded, cfg, idCol)
+    val sigs = if (cfg.oph) minHashSignaturesOPH(exploded, cfg, idCol)
+               else minHashSignatures(exploded, cfg, idCol)
     val cands = lshCandidates(lshBuckets(sigs, cfg, idCol), idCol)
       .persist(lvl)
     val out = jaccardVerify(exploded, cands, idCol)
@@ -229,8 +276,13 @@ object Dedup {
     docs
       .select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .select(col(idCol), hash(col("tok")).as("h"),
-        explode(idx).as("i"))
+      // hash in its OWN projection below the bit explode: an expression
+      // inlined next to explode() lands in the Project ABOVE the
+      // Generate and is re-evaluated once per generated row — 64× per
+      // token (measured 3.1 s → 14.4 s when the md5-oracle hash was
+      // inlined there)
+      .select(col(idCol), hash(col("tok")).as("h"))
+      .select(col(idCol), col("h"), explode(idx).as("i"))
       .select(col(idCol), col("i"),
         when(call_function("shiftrightunsigned", col("h"), col("i"))
           .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1).as("b"))

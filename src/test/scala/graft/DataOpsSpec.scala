@@ -59,6 +59,40 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(unrelated.isEmpty, s"false positives: $unrelated")
   }
 
+  test("OPH minhash recalls the planted near-dups (1 hash per shingle)") {
+    val dups = Dedup.minHashNearDups(corpus,
+      Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.6, oph = true))
+    val pairs = dups.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)), s"missing pair $i")
+    }
+    assert(pairs.contains((0L, 2000L)) && pairs.contains((0L, 2001L)))
+    // precision is exact regardless of OPH: the verify stage recomputes
+    // true Jaccard, so no pair below threshold can survive
+    val family0 = Set(0L, 1000L, 2000L, 2001L)
+    val unrelated = pairs.filterNot { case (a, b) =>
+      (b - a == 1000) || Set(a, b).subsetOf(family0)
+    }
+    assert(unrelated.isEmpty, s"false positives: $unrelated")
+  }
+
+  test("OPH densification: short docs (empty bins) yield full signatures") {
+    import spark.implicits._
+    // 4 tokens → 2 shingles over k=64 bins: ~62 bins densify by rotation
+    val tiny = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignaturesOPH(
+      Dedup.explodedShingles(tiny), Dedup.MinHashConfig())
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length == 64))
+    assert(sigs.values.forall(_.forall(_ != null)))
+    assert(sigs(1L) == sigs(2L), "identical docs → identical OPH sigs")
+    assert(sigs(1L) != sigs(3L), "different docs → different OPH sigs")
+  }
+
   test("simhash near-dups at hamming<=3 catch small edits") {
     import spark.implicits._
     // one-word edit on a 40-word doc flips few simhash bits
