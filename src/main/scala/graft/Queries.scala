@@ -347,9 +347,7 @@ object Queries {
     "q_embedding_norm" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(sqrt(aggregate(col("embedding"), lit(0.0d),
-            (acc, x) => acc + x.cast("double") * x.cast("double"))), 3)
-            .as("l2"))
+          round(graft.data.Ann.norm(col("embedding")), 3).as("l2"))
         .orderBy(col("vec_id"))),
 
     // BPE-ish pre-tokenizer counts (oracle: regexp_extract_all both sides)
@@ -482,12 +480,8 @@ object Queries {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
-      val dot = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) =>
-          x.cast("double") * y.cast("double")), lit(0.0d), (acc, v) => acc + v)
-      val norm = (a: Column) =>
-        sqrt(aggregate(a, lit(0.0d),
-          (acc, x) => acc + x.cast("double") * x.cast("double")))
+      val dot = graft.data.Ann.dot _ // codegen'd DotProduct kernel
+      val norm = graft.data.Ann.norm _
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),

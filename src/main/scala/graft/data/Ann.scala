@@ -2,6 +2,7 @@ package graft.data
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.linkage.expr.{functions => gf}
 
 /** Approximate nearest-neighbor search over an embedding column
   * (array<float>) — training-data pipeline op.
@@ -20,13 +21,13 @@ object Ann {
 
   // ---------- shared vector math (Column level) ----------
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  /** Codegen'd kernels (expr.DotProduct): the aggregate(zip_with(..))
+    * higher-order form ran interpreted per element on every candidate
+    * pair — the engine's own doctrine violation in its hottest vector
+    * loop. */
+  def dot(a: Column, b: Column): Column = gf.dot_product(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(gf.dot_product(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -168,14 +169,30 @@ object Ann {
     centroids
   }
 
-  /** Assign each row to its nearest centroid (L2). */
+  /** Assign each row to its nearest centroid (L2). Shuffle-free per-row
+    * compute; the distance sums are UNROLLED into straight-line
+    * element_at arithmetic when centroids×dims is small enough to
+    * codegen (higher-order lambdas run interpreted — the doctrine rule;
+    * the HOF form is kept as the fallback for very large quantizers
+    * where the unrolled tree would stress codegen method splitting). */
   def assign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val dists = centroids.map { c =>
-      aggregate(zip_with(col("embedding"), planeLit(c),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0d), (acc, v) => acc + v)
-    }
-    val distArr = array(dists: _*)
+    val unrollBudget = 8192 // total squared-diff terms we'll codegen
+    val dists =
+      if (centroids.length * centroids.headOption.map(_.length).getOrElse(0)
+            <= unrollBudget)
+        centroids.map { c =>
+          c.indices.map { p =>
+            val d = element_at(col("embedding"), p + 1).cast("double") - c(p)
+            d * d
+          }.reduce(_ + _)
+        }
+      else
+        centroids.map { c =>
+          aggregate(zip_with(col("embedding"), planeLit(c),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0d), (acc, v) => acc + v)
+        }
+    val distArr = array(dists.toIndexedSeq: _*)
     corpus.withColumn("centroid",
       (array_position(distArr, array_min(distArr)) - 1).cast("int"))
   }

@@ -75,6 +75,56 @@ case class MetaphoneExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Tight-loop vector kernels shared by the interpreted and generated
+  * code paths of [[DotProduct]]. Null elements are treated as 0.0 and
+  * the shorter length wins on mismatch (embedding corpora carry neither;
+  * documented so the semantics are explicit). */
+object VecOps {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData,
+          aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y
+      }
+      i += 1
+    }
+    s
+  }
+}
+
+/** Codegen'd dot product over array<float|double> columns — the shared
+  * kernel of every embedding operator (cosine top-k, LSH bucket planes,
+  * IVF distances, cosine near-dups). Replaces the
+  * aggregate(zip_with(...)) form: higher-order-function lambdas are
+  * excluded from whole-stage codegen and run interpreted per element
+  * (the engine's measured doctrine), while this stays a JIT'd tight
+  * loop inside the generated code. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecOps.dot(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.linkage.expr.VecOps.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object Clk {
   /** CLK Bloom-filter encoding of one record's fields.
     * Capability-parity port of the anonlink CLK described by

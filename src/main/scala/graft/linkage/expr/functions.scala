@@ -14,6 +14,8 @@ object functions {
   def hamming_sim(a: Column, b: Column): Column =
     col_(HammingSim(expr_(a), expr_(b)))
   def metaphone_sig(c: Column): Column = col_(MetaphoneExpr(expr_(c)))
+  def dot_product(a: Column, b: Column): Column =
+    col_(DotProduct(expr_(a), expr_(b)))
   def clk_encode(secretSeed: Int, fields: Column*): Column =
     col_(ClkEncode(fields.map(expr_), secretSeed))
   def clk_encode_blake(secretHex: String, fields: Column*): Column =
