@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("metaphone_sig"),
       info("metaphone_sig", "metaphone_sig(s)"),
       (es: Seq[Expression]) => MetaphoneExpr(es.head)))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(vec_a, vec_b)"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
   }
 }

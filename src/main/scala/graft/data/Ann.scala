@@ -170,32 +170,14 @@ object Ann {
   }
 
   /** Assign each row to its nearest centroid (L2). Shuffle-free per-row
-    * compute; the distance sums are UNROLLED into straight-line
-    * element_at arithmetic when centroids×dims is small enough to
-    * codegen (higher-order lambdas run interpreted — the doctrine rule;
-    * the HOF form is kept as the fallback for very large quantizers
-    * where the unrolled tree would stress codegen method splitting). */
-  def assign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val unrollBudget = 8192 // total squared-diff terms we'll codegen
-    val dists =
-      if (centroids.length * centroids.headOption.map(_.length).getOrElse(0)
-            <= unrollBudget)
-        centroids.map { c =>
-          c.indices.map { p =>
-            val d = element_at(col("embedding"), p + 1).cast("double") - c(p)
-            d * d
-          }.reduce(_ + _)
-        }
-      else
-        centroids.map { c =>
-          aggregate(zip_with(col("embedding"), planeLit(c),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0d), (acc, v) => acc + v)
-        }
-    val distArr = array(dists.toIndexedSeq: _*)
+    * compute through the codegen'd expr.NearestCentroid kernel — the
+    * centroid matrix travels as one reference object per task, never as
+    * literal expression trees (an unrolled form broadcast 10.9 MiB task
+    * binaries at √n-sized quantizers; the earlier higher-order-lambda
+    * form ran interpreted per element). */
+  def assign(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     corpus.withColumn("centroid",
-      (array_position(distArr, array_min(distArr)) - 1).cast("int"))
-  }
+      gf.nearest_centroid(col("embedding"), centroids))
 
   /** IVF search: per query, probe the nProbe nearest centroids' cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -65,23 +65,26 @@ object Candidates {
                             cfg: Config = Config()): DataFrame = {
     val total = allRecords.count()
     val cap = math.max(cfg.minBlockCap, (cfg.ratioMax * total).toLong)
-    val perPass = passes.map { p =>
-      val keyedAll = Blocking.keyed(allRecords, p)
-      val counts = keyedAll.groupBy("block_key").agg(count(lit(1)).as("n"))
-      val keptAll = keyedAll.join(
-        counts.filter(col("n") <= cap).select("block_key"), Seq("block_key"))
-      val keptNew = Blocking.keyed(newRecords, p)
-        .join(keptAll.select("block_key").distinct(), Seq("block_key"),
-          "left_semi")
-      val l = keptNew.select(col("block_key"), col("conv_id").as("new_id"))
-      val r = keptAll.select(col("block_key").as("bk_r"),
-        col("conv_id").as("other_id"))
-      l.join(r, col("block_key") === col("bk_r") &&
-          col("new_id") =!= col("other_id"))
-        .select(least(col("new_id"), col("other_id")).as("id_a"),
-          greatest(col("new_id"), col("other_id")).as("id_b"))
-    }
-    perPass.reduce(_ unionByName _)
+    // same unified single-relation shape as candidates(): one keyed
+    // relation over all passes, one count aggregate (evaluated over ALL
+    // records, exactly like a full run), one new×all pair join
+    val keyedAll = Blocking.keyedAll(allRecords, passes)
+    val keptKeys = keyedAll.groupBy("pass", "block_key")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cap)
+      .select("pass", "block_key")
+    val keptAll = keyedAll.join(keptKeys, Seq("pass", "block_key"))
+    val keptNew = Blocking.keyedAll(newRecords, passes)
+      .join(keptKeys, Seq("pass", "block_key"), "left_semi")
+    val l = keptNew.select(col("pass"), col("block_key"),
+      col("conv_id").as("new_id"))
+    val r = keptAll.select(col("pass").as("pass_r"),
+      col("block_key").as("bk_r"), col("conv_id").as("other_id"))
+    l.join(r, col("pass") === col("pass_r") &&
+        col("block_key") === col("bk_r") &&
+        col("new_id") =!= col("other_id"))
+      .select(least(col("new_id"), col("other_id")).as("id_a"),
+        greatest(col("new_id"), col("other_id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

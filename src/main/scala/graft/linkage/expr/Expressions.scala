@@ -96,6 +96,30 @@ object VecOps {
     }
     s
   }
+
+  def nearestCentroid(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                      centroids: Array[Array[Double]],
+                      aFloat: Boolean): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(a.numElements(), cen.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = (if (a.isNullAt(i)) 0.0
+                 else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)) -
+          cen(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 /** Codegen'd dot product over array<float|double> columns — the shared
@@ -123,6 +147,36 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Argmin-L2 centroid assignment for IVF: the centroid matrix rides
+  * along as a REFERENCE OBJECT (one ~nCentroids×dims double[][] per
+  * task, ~36 KB at √n-sized quantizers), not as a literal expression
+  * tree — an unrolled per-centroid sum embedded √n×dims literals in the
+  * plan and broadcast 10.9 MiB task binaries (measured; same class of
+  * failure as round 1's 64-column minhash codegen girth). The loop body
+  * is a static JIT'd kernel shared by interpreted and generated paths. */
+case class NearestCentroid(child: Expression,
+                           centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.nearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centroids, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.linkage.expr.VecOps.nearestCentroid($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
 }
 
 object Clk {

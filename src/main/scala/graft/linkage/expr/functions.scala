@@ -16,6 +16,8 @@ object functions {
   def metaphone_sig(c: Column): Column = col_(MetaphoneExpr(expr_(c)))
   def dot_product(a: Column, b: Column): Column =
     col_(DotProduct(expr_(a), expr_(b)))
+  def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
+    col_(NearestCentroid(expr_(emb), centroids))
   def clk_encode(secretSeed: Int, fields: Column*): Column =
     col_(ClkEncode(fields.map(expr_), secretSeed))
   def clk_encode_blake(secretHex: String, fields: Column*): Column =
@@ -30,5 +32,6 @@ object functions {
     Register.tempFunction(spark, "jaro_winkler", es => JaroWinkler(es(0), es(1)))
     Register.tempFunction(spark, "hamming_sim", es => HammingSim(es(0), es(1)))
     Register.tempFunction(spark, "metaphone_sig", es => MetaphoneExpr(es.head))
+    Register.tempFunction(spark, "dot_product", es => DotProduct(es(0), es(1)))
   }
 }

@@ -31,11 +31,14 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT jaro_winkler('GARDEN', 'GAREDN') AS jw, " +
         "hamming_sim('205', '206') AS h, " +
         "normalize_ascii('  héllo ') AS n, " +
-        "metaphone_sig('SMITH') AS mp").head()
+        "metaphone_sig('SMITH') AS mp, " +
+        "dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dp")
+        .head()
       assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-12)
       assert(math.abs(row.getDouble(1) - 2.0 / 3) < 1e-12)
       assert(row.getString(2) == "HELLO")
       assert(row.getString(3).nonEmpty)
+      assert(math.abs(row.getDouble(4) - 32.0) < 1e-12)
     } finally {
       // do NOT stop(): that would kill the SparkContext shared with the
       // fixture session; just restore the previous default/active session
