@@ -190,10 +190,25 @@ object Ann {
     val centroids = trainCentroids(corpus, sized, idCol)
     val cells = assign(corpus, centroids)
       .select(col("centroid"), col(idCol), col("embedding"))
+    probeCells(cells, centroids, queries, k, cfg.nProbe, idCol)
+  }
+
+  /** Shared probe tail: join queries' probed centroids against the
+    * cells, score, window top-k. The probe set is broadcast, so when
+    * `cells` is a centroid-partitioned table on disk Spark's dynamic
+    * partition pruning eliminates every unprobed partition at runtime. */
+  private def probeCells(cells: DataFrame, centroids: Array[Array[Double]],
+                         queries: DataFrame, k: Int, nProbe: Int,
+                         idCol: String): DataFrame = {
     val qAssigned = queries.select(col("query_id"),
       col("embedding").as("q_emb"),
-      explode(nearestCentroids(col("embedding"), centroids, cfg.nProbe))
+      explode(nearestCentroids(col("embedding"), centroids, nProbe))
         .as("centroid"))
+      // always true (indices are 0-based), but a comparison FILTER above
+      // the explode is what PartitionPruning's selectivity walk accepts —
+      // without it the probe side is just a Generate and DPP never fires
+      // on the partitioned cells scan (IvfIndexSpec pins the pruning)
+      .filter(col("centroid") >= 0)
     val cands = cells.join(broadcast(qAssigned), Seq("centroid"))
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .select(col("query_id"), col(idCol), col("cos")) // narrow pre-window
@@ -203,6 +218,57 @@ object Ann {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("cos"), col("rank"))
+  }
+
+  // ---------- IVF index persistence (build once, query many) ----------
+
+  /** Build and persist the IVF index: `<path>/cells` is a parquet table
+    * PARTITIONED BY centroid; `<path>/centroids.json` is the (tiny)
+    * quantizer sidecar. At 100 TB this is the serving shape — the index
+    * build is one pass, and every subsequent query batch reads ONLY the
+    * probed partitions (dynamic partition pruning from the broadcast
+    * probe set; IvfIndexSpec asserts the pruning is in the plan). */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    cfg: IvfConfig = IvfConfig(),
+                    idCol: String = "vec_id"): Unit = {
+    val sized =
+      if (cfg.nCentroids > 0) cfg
+      else cfg.copy(nCentroids =
+        math.max(16, math.sqrt(corpus.count().toDouble).toInt))
+    val centroids = trainCentroids(corpus, sized, idCol)
+    assign(corpus, centroids)
+      .select(col("centroid"), col(idCol), col("embedding"))
+      .write.mode("overwrite").partitionBy("centroid")
+      .parquet(s"$path/cells")
+    val json = centroids.zipWithIndex.map { case (c, i) =>
+      s"""{"centroid":$i,"vec":[${c.mkString(",")}]}"""
+    }.mkString("", "\n", "\n")
+    val spark = corpus.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/centroids.json"), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Quantizer sidecar reader (driver-side; nCentroids rows). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Array[Double]] =
+    spark.read.json(s"$path/centroids.json")
+      .select(col("centroid"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Top-k against a persisted index: only the probed cell partitions
+    * are read. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id"): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    probeCells(cells, centroids, queries, k, nProbe, idCol)
   }
 
   /** Array of the nProbe nearest centroid indices for a vector column. */
