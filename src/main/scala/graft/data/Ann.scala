@@ -261,6 +261,23 @@ object Ann {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
 
+  /** Append new vectors to an existing index: assign with the PERSISTED
+    * quantizer (centroids stay immutable once built — standard IVF
+    * practice; rebuild when drift warrants) and append cell rows, so
+    * only the touched partitions gain files. Refreshes the path's file
+    * listing (FileStatusCache serves stale listings after in-session
+    * writes otherwise). */
+  def appendToIvfIndex(newVectors: DataFrame, path: String,
+                       idCol: String = "vec_id"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readIvfCentroids(spark, path)
+    assign(newVectors, centroids)
+      .select(col("centroid"), col(idCol), col("embedding"))
+      .write.mode("append").partitionBy("centroid")
+      .parquet(s"$path/cells")
+    spark.catalog.refreshByPath(s"$path/cells")
+  }
+
   /** Top-k against a persisted index: only the probed cell partitions
     * are read. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *
   * (households.py's analog is LinkageMain.)
   */
-private[linkage] object Cli {
+private[graft] object Cli {
   def parse(args: Array[String], flags: Set[String] = Set.empty)
       : Map[String, String] = {
     val m = scala.collection.mutable.Map[String, String]()

@@ -48,6 +48,21 @@ class IvfIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("appended vectors are found without rebuilding the quantizer") {
+    indexReady
+    import spark.implicits._
+    // a new vector sitting exactly on lobe-2's prototype
+    val novel = Seq((9999L,
+      Array.tabulate(64)(d => if (d / 16 == 2) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(novel, dir)
+    val q = novel.select(col("vec_id").as("query_id"), col("embedding"))
+    val top1 = Ann.ivfTopKIndexed(spark, dir, q, k = 1, nProbe = 2)
+      .collect()
+    assert(top1.length == 1 && top1.head.getLong(1) == 9999L,
+      s"appended vector not retrieved: ${top1.mkString}")
+  }
+
   test("index queries prune unprobed cell partitions (DPP in the plan)") {
     indexReady
     val centroids = Ann.readIvfCentroids(spark, dir)
