@@ -492,7 +492,60 @@ object Queries {
     })
   )
 
+  /** DuckDB replica of the hyperplane-LSH top-k: the SAME seeded plane
+    * constants the Spark query uses are inlined as literals (Double
+    * .toString round-trips exactly, so both engines hash identical
+    * doubles); buckets, the 17-bucket multi-probe set, exact cosine and
+    * the ranking are recomputed end-to-end in SQL. Summation order
+    * (left-to-right over the 64 dims) matches VecOps.dot, so the dot
+    * signs and cosines are bit-identical. */
+  private def lshOracle: String = {
+    val planeRows = graft.data.Ann.planes(16, 64, 7L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(",")}])" }
+      .mkString(",\n           ")
+    s"""WITH planes(i, vec) AS (VALUES
+           $planeRows),
+         emb AS (SELECT vec_id, embedding FROM embeddings),
+         dots AS (
+           SELECT e.vec_id, p.i,
+                  list_sum([e.embedding[j]::DOUBLE * p.vec[j]
+                            FOR j IN generate_series(1, 64)]) AS d
+           FROM emb e CROSS JOIN planes p),
+         bucketed AS (
+           SELECT vec_id,
+                  bit_or(CASE WHEN d >= 0 THEN (1::BIGINT << i)
+                              ELSE 0::BIGINT END) AS bucket
+           FROM dots GROUP BY vec_id),
+         corpus AS (
+           SELECT e.vec_id, e.embedding, b.bucket
+           FROM emb e JOIN bucketed b USING (vec_id)),
+         probes AS (
+           SELECT c.vec_id AS query_id, c.embedding AS q_emb,
+                  unnest([c.bucket] ||
+                    [xor(c.bucket, 1::BIGINT << i)
+                     FOR i IN generate_series(0, 15)]) AS bucket
+           FROM corpus c WHERE c.vec_id < 5),
+         cands AS (
+           SELECT p.query_id, c.vec_id,
+             list_sum([c.embedding[j]::DOUBLE * p.q_emb[j]::DOUBLE
+                       FOR j IN generate_series(1, 64)]) /
+             (sqrt(list_sum([c.embedding[j]::DOUBLE * c.embedding[j]::DOUBLE
+                             FOR j IN generate_series(1, 64)])) *
+              sqrt(list_sum([p.q_emb[j]::DOUBLE * p.q_emb[j]::DOUBLE
+                             FOR j IN generate_series(1, 64)]))) AS cos
+           FROM probes p JOIN corpus c USING (bucket)),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS rank
+           FROM cands)
+       SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+              round(cos, 4) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh_topk" -> lshOracle,
     "q_topn_counts" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          GROUP BY o_orderpriority HAVING count(*) >= 3

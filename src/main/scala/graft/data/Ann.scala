@@ -53,8 +53,10 @@ object Ann {
 
   // ---------- hyperplane LSH ----------
 
-  /** Deterministic pseudo-gaussian hyperplanes (seeded). */
-  private def planes(numPlanes: Int, dims: Int, seed: Long)
+  /** Deterministic pseudo-gaussian hyperplanes (seeded). Exposed within
+    * the engine so the q_ann_lsh oracle can inline the SAME constants
+    * into its DuckDB replica. */
+  private[graft] def planes(numPlanes: Int, dims: Int, seed: Long)
       : Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes, dims)(rnd.nextGaussian())
