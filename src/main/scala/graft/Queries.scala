@@ -475,6 +475,13 @@ object Queries {
         .orderBy(col("media_id"))
     }),
 
+    // TF-IDF top terms: corpus-level document frequency + per-doc rank
+    "q_tfidf" -> ((s, dir) =>
+      graft.data.TextAnalysis.tfIdfTopTerms(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          select = pmod(col("doc_id"), lit(50)) === 0, k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // brute-force cosine top-k against a fixed query vector (ANN baseline)
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -766,6 +773,34 @@ object Queries {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          ORDER BY id_a, id_b""",
+
+    // ranking on the ROUNDED tfidf both sides — ulp noise in ln() between
+    // engines cannot reorder ties
+    "q_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS term
+           FROM documents),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                   FROM toks GROUP BY term),
+         sampled AS (SELECT * FROM toks WHERE doc_id % 50 = 0),
+         lens AS (SELECT doc_id, count(*)::DOUBLE AS n_tok
+                  FROM sampled GROUP BY doc_id),
+         tf AS (SELECT doc_id, term, count(*)::DOUBLE AS cnt
+                FROM sampled GROUP BY doc_id, term),
+         scored AS (
+           SELECT t.doc_id, t.term,
+                  round((t.cnt / l.n_tok) * ln(n.n_docs / d.df), 6) AS tfidf
+           FROM tf t JOIN dfreq d USING (term) JOIN lens l USING (doc_id)
+           CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rank
+           FROM scored)
+       SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -137,6 +137,40 @@ object TextAnalysis {
           (when(col("stopword_ratio") > 0.02, 0.1).otherwise(0.0)), 4))
   }
 
+  // ---------- TF-IDF ----------
+
+  /** Top-k TF-IDF terms per selected doc. Document frequency is computed
+    * over the WHOLE corpus (one distinct+groupBy over exploded terms —
+    * map-side partial aggregation, 8-byte-ish term rows); term
+    * frequencies and ranking only for the docs matching `select` (push
+    * the sample down before the per-doc work). tfidf =
+    * (cnt/n_tok) · ln(N/df), rounded to 6 — ranking happens ON the
+    * rounded value so cross-engine ulp noise in ln cannot reorder ties.
+    * Window is per-doc (bounded partitions), never global. */
+  def tfIdfTopTerms(docs: DataFrame, select: Column, k: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col(idCol),
+      explode(wsTokens(lower(col(textCol)))).as("term"))
+    val dfreq = terms.select(idCol, "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val sampled = terms.filter(select)
+    val lens = sampled.groupBy(idCol).agg(count(lit(1)).as("n_tok"))
+    val tf = sampled.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = tf.join(dfreq, "term").join(lens, idCol)
+      .withColumn("tfidf", round(
+        (col("cnt").cast("double") / col("n_tok")) *
+          log(lit(n.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   // ---------- fingerprinting ----------
 
   /** Winnowing-style fingerprint: minimum of rolling k-gram hashes —
