@@ -218,6 +218,25 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
       s"false positives among random gaussians: ${pairs.take(5)}")
   }
 
+  test("tf-idf top terms: hand-computed values, df over the whole corpus") {
+    import spark.implicits._
+    // 4 docs; "rare" appears only in doc 0, "both" in docs 0+2,
+    // "common" in all four
+    val docs = Seq(
+      (0L, "rare both common common"),
+      (1L, "common filler words here"),
+      (2L, "both common filler words"),
+      (3L, "common words filler too")).toDF("doc_id", "text")
+    val top = graft.data.TextAnalysis.tfIdfTopTerms(docs,
+        select = col("doc_id") === 0, k = 3)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    // doc 0: n_tok=4. rare: (1/4)ln(4/1)=0.346574; both: (1/4)ln(4/2)
+    // =0.173287; common: (2/4)ln(4/4)=0
+    assert(top.toSeq == Seq(
+      ("rare", 0.346574, 1), ("both", 0.173287, 2), ("common", 0.0, 3)),
+      s"got: ${top.toSeq}")
+  }
+
   test("language ID heuristic") {
     import spark.implicits._
     val docs = Seq(
