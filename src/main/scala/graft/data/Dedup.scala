@@ -258,6 +258,31 @@ object Dedup {
     out
   }
 
+  /** Near-duplicate GROUPS: the linkage engine's large-star/small-star
+    * connected components run over the verified near-dup pairs, plus
+    * singleton fill — one (doc_id, cluster_id) row per INPUT doc, with
+    * cluster_id = the component's minimum doc_id. Transitive chains
+    * a~b~c collapse into one group even when (a, c) itself was never a
+    * candidate pair — the set-cover step pair output alone cannot give.
+    * Same resumability/lineage discipline as the linkage path
+    * (Cluster.Options.checkpointDir). */
+  def nearDupClusters(docs: DataFrame, cfg: MinHashConfig = MinHashConfig(),
+                      idCol: String = "doc_id", textCol: String = "text",
+                      ccOptions: graft.linkage.Cluster.Options =
+                        graft.linkage.Cluster.Options()): DataFrame = {
+    val pairs = minHashNearDups(docs, cfg, idCol, textCol)
+    val labels = graft.linkage.Cluster.connectedComponents(
+      docs.sparkSession, pairs.select(col("id_a"), col("id_b")), ccOptions)
+    val out = graft.linkage.Cluster.labelRecords(
+      docs.select(col(idCol)), labels, idCol)
+    val materialized = out
+      .select(col(idCol), col("cluster_id"))
+      .localCheckpoint() // inert result: release pairs + labels below
+    pairs.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
+    materialized
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over word tokens: bit i = sign of Σ_tokens ±1 where

@@ -218,6 +218,26 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
       s"false positives among random gaussians: ${pairs.take(5)}")
   }
 
+  test("near-dup clusters: transitive chains collapse, singletons kept") {
+    val clusters = Dedup.nearDupClusters(corpus,
+      Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every input doc is labeled
+    assert(clusters.size == corpus.count())
+    // doc 0's family {0, near-dup 1000, exact copies 2000, 2001} is ONE
+    // group labeled by the min id — including the (1000, 2000) link that
+    // exists only transitively through 0
+    assert(Set(0L, 1000L, 2000L, 2001L).forall(clusters(_) == 0L),
+      s"family of 0: ${Set(0L, 1000L, 2000L, 2001L).map(clusters)}")
+    // each planted pair (i, 1000+i) shares a group labeled i
+    (1 until 20).foreach { i =>
+      assert(clusters(i.toLong) == i.toLong &&
+        clusters(1000L + i) == i.toLong, s"pair $i split")
+    }
+    // an unplanted doc (i >= 20 has no near-dup twin) is its own singleton
+    assert(clusters(50L) == 50L)
+  }
+
   test("tf-idf top terms: hand-computed values, df over the whole corpus") {
     import spark.implicits._
     // 4 docs; "rare" appears only in doc 0, "both" in docs 0+2,
