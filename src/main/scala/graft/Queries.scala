@@ -390,6 +390,31 @@ object Queries {
           .as("jaccard"))
     }),
 
+    // Near-dup CLUSTERS (pair discovery + large-star/small-star CC +
+    // singleton fill) — same recall-proof planted construction as
+    // q_minhash, extended to CHAINS: base → base+" PLANTEDMARKER" →
+    // base+" PLANTEDMARKER ALSO". Every in-family pair has exact
+    // Jaccard ≥ (T-2)/T ≥ 0.96 at T≥50 (per-pair LSH miss ≤ 4e-5 at
+    // r=8/b=8), and the 0.9 threshold keeps unrelated corpus docs out on
+    // BOTH sides (the DuckDB oracle recomputes exact all-pairs Jaccard
+    // over the same family and clusters the qualifying edges with a
+    // recursive min-label CTE — a full value oracle for pair recall,
+    // verify exactness, AND the transitive closure + min-id labeling).
+    "q_neardup_clusters" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") < 50 &&
+          size(split(trim(col("text")), "\\s+")) >= 50)
+        .select(col("doc_id"), col("text"))
+      val g1 = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" PLANTEDMARKER")).as("text"))
+      val g2 = base.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" PLANTEDMARKER ALSO")).as("text"))
+      graft.data.Dedup.nearDupClusters(
+        base.unionByName(g1).unionByName(g2),
+        graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.9))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- rows-only checks (no DuckDB oracle): simhash + the two ANN
     // scale paths (hash-bucketed recall has no cross-engine ground truth
     // — DataOpsSpec carries planted-recall tests) + multimodal ----
@@ -855,6 +880,38 @@ object Queries {
                  ON b.doc_id = a.doc_id + 100000 AND a.doc_id < 50)
          SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
          WHERE jac >= 0.5 ORDER BY id_a""",
+
+    "q_neardup_clusters" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id < 50 AND
+                    len(regexp_split_to_array(trim(text), '\s+')) >= 50),
+         fam AS (SELECT doc_id, text FROM base
+                 UNION ALL
+                 SELECT doc_id + 100000, text || ' PLANTEDMARKER' FROM base
+                 UNION ALL
+                 SELECT doc_id + 200000, text || ' PLANTEDMARKER ALSO'
+                 FROM base),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, len(toks) - 2)]
+                  ELSE [trim(text)] END) AS s
+                FROM (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM fam)),
+         e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 >= 0.9),
+         ee AS (SELECT id_a AS u, id_b AS v FROM e
+                UNION ALL SELECT id_b, id_a FROM e),
+         reach AS (SELECT doc_id AS id, doc_id AS r FROM fam
+                   UNION
+                   SELECT ee.v AS id, reach.r AS r
+                   FROM reach JOIN ee ON ee.u = reach.id)
+         SELECT id AS doc_id, min(r) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     "q_lang_guess" ->
       """SELECT doc_id, lang,

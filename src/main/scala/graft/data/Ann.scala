@@ -138,19 +138,39 @@ object Ann {
                        lloydIters: Int = 3, dims: Int = 64,
                        seed: Long = 11L)
 
+  /** Deterministic bounded training sample for the quantizer: the
+    * standard IVF practice of training k-means on O(256·nCentroids) rows
+    * rather than the full corpus (beyond that the centroids barely move
+    * and every Lloyd pass costs a full corpus scan). Hash-threshold
+    * sampling (xxhash64(id) mod ceil(n/cap) == 0) keeps the choice
+    * deterministic and pushdown-friendly — no orderBy+limit, which
+    * top-k-collects through the driver. Corpora at or under the cap
+    * train on every row, so small-shape results are unchanged. */
+  private[graft] def trainingSample(corpus: DataFrame, nCentroids: Int,
+                                    idCol: String): DataFrame = {
+    val cap = 256L * nCentroids
+    val n = corpus.count()
+    if (n <= cap) corpus
+    else corpus.filter(
+      pmod(xxhash64(col(idCol)), lit((n + cap - 1) / cap)) === 0)
+  }
+
   /** Seeded k-means coarse quantizer: returns centroids (small,
     * driver-side array) trained by Lloyd iterations executed as
-    * posexplode + groupBy means — all distributed. */
+    * posexplode + groupBy means — all distributed, over a bounded
+    * deterministic sample (see [[trainingSample]]) so neither the Lloyd
+    * passes nor the per-iteration means depend on corpus size. */
   def trainCentroids(corpus: DataFrame, cfg: IvfConfig,
                      idCol: String = "vec_id"): Array[Array[Double]] = {
+    val train = trainingSample(corpus, cfg.nCentroids, idCol)
     // deterministic init: the nCentroids rows with smallest xxhash64(id)
-    var centroids = corpus
+    var centroids = train
       .withColumn("h", xxhash64(col(idCol)))
       .orderBy(col("h")).limit(cfg.nCentroids)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     (0 until cfg.lloydIters).foreach { _ =>
-      val assigned = assign(corpus, centroids)
+      val assigned = assign(train, centroids)
       val means = assigned
         .select(col("centroid"), posexplode(col("embedding"))
           .as(Seq("pos", "v")))
@@ -246,12 +266,49 @@ object Ann {
       s"""{"centroid":$i,"vec":[${c.mkString(",")}]}"""
     }.mkString("", "\n", "\n")
     val spark = corpus.sparkSession
+    writeSidecar(spark, s"$path/centroids.json", json)
+    // config fingerprint: without it an appendToIvfIndex against an index
+    // built with different dims/seed/quantizer assigns new vectors with
+    // the WRONG geometry and fails silently downstream
+    writeSidecar(spark, s"$path/ivf_meta.json",
+      s"""{"version":$IndexVersion,"nCentroids":${centroids.length},""" +
+        s""""dims":${sized.dims},"seed":${sized.seed}}""" + "\n")
+  }
+
+  /** Bumped whenever the cell layout or quantizer semantics change. */
+  val IndexVersion = 1
+
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+                           file: String, content: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(file), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(file), true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Load + validate the index fingerprint against the centroid sidecar
+    * and (on append) the incoming vectors. Indexes written before the
+    * stamp existed fail loudly here rather than mis-assigning. */
+  private def requireCompatible(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                centroids: Array[Array[Double]]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$path/centroids.json"), true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/ivf_meta.json")),
+      s"$path/ivf_meta.json missing — index predates the version stamp; " +
+        "rebuild with writeIvfIndex")
+    val meta = spark.read.json(s"$path/ivf_meta.json").collect().head
+    val version = meta.getAs[Long]("version")
+    val nCentroids = meta.getAs[Long]("nCentroids")
+    val dims = meta.getAs[Long]("dims")
+    require(version == IndexVersion,
+      s"index version $version != supported $IndexVersion ($path)")
+    require(nCentroids == centroids.length,
+      s"quantizer mismatch: meta says $nCentroids centroids, sidecar has " +
+        s"${centroids.length} ($path)")
+    require(centroids.forall(_.length == dims),
+      s"dims mismatch: meta says $dims, sidecar centroids disagree ($path)")
   }
 
   /** Quantizer sidecar reader (driver-side; nCentroids rows). */
@@ -273,6 +330,7 @@ object Ann {
                        idCol: String = "vec_id"): Unit = {
     val spark = newVectors.sparkSession
     val centroids = readIvfCentroids(spark, path)
+    requireCompatible(spark, path, centroids)
     assign(newVectors, centroids)
       .select(col("centroid"), col(idCol), col("embedding"))
       .write.mode("append").partitionBy("centroid")
@@ -286,21 +344,19 @@ object Ann {
                      queries: DataFrame, k: Int, nProbe: Int = 4,
                      idCol: String = "vec_id"): DataFrame = {
     val centroids = readIvfCentroids(spark, path)
+    requireCompatible(spark, path, centroids)
     val cells = spark.read.parquet(s"$path/cells")
     probeCells(cells, centroids, queries, k, nProbe, idCol)
   }
 
-  /** Array of the nProbe nearest centroid indices for a vector column. */
-  private def nearestCentroids(emb: Column, centroids: Array[Array[Double]],
-                               nProbe: Int): Column = {
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(emb, planeLit(c),
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0d), (acc, v) => acc + v).as("d"),
-        lit(i).as("i"))
-    }
-    slice(transform(array_sort(array(dists: _*)), s => s.getField("i")),
-      1, nProbe)
-  }
+  /** Array of the nProbe nearest centroid indices for a vector column —
+    * the codegen'd expr.NearestCentroids kernel (centroid matrix as a
+    * reference object, same discipline as [[assign]]; the earlier
+    * unrolled-literal + interpreted-HOF form embedded nCentroids×dims
+    * doubles in every probe plan). Package-visible so plan specs can pin
+    * the probe-side shape at √n-sized quantizers. */
+  private[graft] def nearestCentroids(emb: Column,
+                                      centroids: Array[Array[Double]],
+                                      nProbe: Int): Column =
+    gf.nearest_centroids(emb, centroids, nProbe)
 }

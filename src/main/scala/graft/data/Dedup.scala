@@ -265,7 +265,12 @@ object Dedup {
     * a~b~c collapse into one group even when (a, c) itself was never a
     * candidate pair — the set-cover step pair output alone cannot give.
     * Same resumability/lineage discipline as the linkage path
-    * (Cluster.Options.checkpointDir). */
+    * (Cluster.Options.checkpointDir).
+    *
+    * The result is localCheckpoint()'d (so the interior pair/label caches
+    * can be released here) — `unpersist()` will NOT free its blocks;
+    * call `DatasetBridge.releaseCheckpoint(result)` once every consumer
+    * has materialized. */
   def nearDupClusters(docs: DataFrame, cfg: MinHashConfig = MinHashConfig(),
                       idCol: String = "doc_id", textCol: String = "text",
                       ccOptions: graft.linkage.Cluster.Options =

@@ -177,18 +177,31 @@ object TextAnalysis {
     * stable under text reordering-free edits; plus a full-content hash.
     * `hash` defaults to xxhash64 (codegen'd, 8-byte — the at-scale
     * choice); pass `md5` for a cross-engine-checkable variant (the
-    * q_fingerprints oracle runs the same md5 min-gram in DuckDB). */
+    * q_fingerprints oracle runs the same md5 min-gram in DuckDB).
+    *
+    * Plan shape (the minhash lesson): explode the grams, hash each in
+    * its OWN projection below the Generate (an expression inlined next
+    * to explode() lands in the Project above it), min/max as partial
+    * aggregation map-side — the per-gram hash runs in whole-stage
+    * codegen. The earlier `transform(grams, g => hash(g))` form ran the
+    * hash as an interpreted HOF lambda per gram. Needs a unique `idCol`
+    * for the join-back (same contract as every other per-doc op). */
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    k: Int = 5,
-                   hash: Column => Column = xxhash64(_)): DataFrame = {
+                   hash: Column => Column = xxhash64(_),
+                   idCol: String = "doc_id"): DataFrame = {
     val toks = wsTokens(col(textCol))
     val cnt = size(toks)
-    val grams = when(cnt >= k,
-      transform(Dedup.wordNgrams(toks, cnt, k), g => hash(g)))
-      .otherwise(array(hash(col(textCol))))
+    val grams = when(cnt >= k, Dedup.wordNgrams(toks, cnt, k))
+      .otherwise(array(col(textCol)))
+    val fps = docs
+      .select(col(idCol), explode(grams).as("_gram"))
+      .select(col(idCol), hash(col("_gram")).as("_gh"))
+      .groupBy(col(idCol))
+      .agg(min(col("_gh")).as("min_gram_fp"),
+        max(col("_gh")).as("max_gram_fp"))
     docs
       .withColumn("content_hash", hash(col(textCol)))
-      .withColumn("min_gram_fp", array_min(grams))
-      .withColumn("max_gram_fp", array_max(grams))
+      .join(fps, Seq(idCol), "left")
   }
 }

@@ -120,6 +120,69 @@ object VecOps {
     }
     best
   }
+
+  /** Top-nProbe nearest centroid INDICES by L2, ascending (distance,
+    * index) — the tie-break `array_sort(struct(d, i))` used, so results
+    * are bit-identical to the sorted-struct form it replaces. Selection
+    * is O(k·nProbe) after the O(k·dims) distance pass, which dominates. */
+  def nearestCentroids(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                       centroids: Array[Array[Double]], nProbe: Int,
+                       aFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = centroids.length
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cen = centroids(c)
+      val n = math.min(a.numElements(), cen.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = (if (a.isNullAt(i)) 0.0
+                 else if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)) -
+          cen(i)
+        s += x * x
+        i += 1
+      }
+      d(c) = s
+      c += 1
+    }
+    val m = math.min(nProbe, k)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var c2 = 0
+      while (c2 < k) {
+        // strict < with ascending scan = lowest index wins ties
+        if (!used(c2) && d(c2) < bestD) { bestD = d(c2); best = c2 }
+        c2 += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Count of equal slots between two long-array signatures (the
+    * MinHash estimated-Jaccard numerator). Length mismatch: unmatched
+    * slots of the longer array count as disagreement, matching the
+    * null-padded zip_with form this replaces. */
+  def sigAgreement(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        s += 1
+      i += 1
+    }
+    s
+  }
 }
 
 /** Codegen'd dot product over array<float|double> columns — the shared
@@ -177,6 +240,56 @@ case class NearestCentroid(child: Expression,
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
+}
+
+/** Top-nProbe centroid indices (array<int>, ascending L2 distance) —
+  * the IVF QUERY-probe side of [[NearestCentroid]]. Same reference-object
+  * discipline: at a √n-sized quantizer (~32k cells × 64 dims at 10⁹
+  * vectors) an unrolled per-centroid literal tree put ~10 MiB of doubles
+  * in every probe plan and evaluated them with interpreted higher-order
+  * lambdas; here the matrix rides as one object per task and the
+  * distance + selection loop is a static JIT'd kernel. */
+case class NearestCentroids(child: Expression,
+                            centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.nearestCentroids(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      centroids, nProbe, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.linkage.expr.VecOps.nearestCentroids($c, $ref, $nProbe, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** Count of agreeing slots between two array<long> MinHash signatures —
+  * the estimated-Jaccard numerator (agreement / k). Replaces the
+  * interpreted aggregate(zip_with(..)) form in the streaming near-dup
+  * gate (HOF lambdas are excluded from whole-stage codegen). */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sig_agreement"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecOps.sigAgreement(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.linkage.expr.VecOps.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
 }
 
 object Clk {

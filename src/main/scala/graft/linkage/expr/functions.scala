@@ -18,6 +18,11 @@ object functions {
     col_(DotProduct(expr_(a), expr_(b)))
   def nearest_centroid(emb: Column, centroids: Array[Array[Double]]): Column =
     col_(NearestCentroid(expr_(emb), centroids))
+  def nearest_centroids(emb: Column, centroids: Array[Array[Double]],
+                        nProbe: Int): Column =
+    col_(NearestCentroids(expr_(emb), centroids, nProbe))
+  def sig_agreement(a: Column, b: Column): Column =
+    col_(SigAgreement(expr_(a), expr_(b)))
   def clk_encode(secretSeed: Int, fields: Column*): Column =
     col_(ClkEncode(fields.map(expr_), secretSeed))
   def clk_encode_blake(secretHex: String, fields: Column*): Column =

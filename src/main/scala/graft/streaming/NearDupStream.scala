@@ -3,7 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.graftbridge.DatasetBridge
 import graft.data.Dedup
+import graft.linkage.expr.{functions => gf}
 
 /** Streaming NEAR-dup dedup — the LSH leg of the streaming dedup family
   * (exact leg: TranscriptStream.dedupStream). A foreachBatch loop keeps
@@ -75,10 +77,11 @@ object NearDupStream {
         "cand_id")
       .join(allSigs.select(col(idCol).as("other_id"),
         col("sig").as("sig_b")), "other_id")
+      // codegen'd slot-agreement kernel (expr.SigAgreement) — the
+      // aggregate(zip_with(..)) HOF form ran interpreted per candidate
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / cfg.numHashes)
+        gf.sig_agreement(col("sig_a"), col("sig_b")).cast("double") /
+          cfg.numHashes)
     val dropped = est.filter(col("est_jaccard") >= cfg.jaccardThreshold)
       .select(col("cand_id").as(idCol)).distinct()
 
@@ -109,8 +112,90 @@ object NearDupStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val survivors = nearDupBatch(batch, storePath, cfg)
         survivors.write.mode("append").parquet(outPath)
-        survivors.unpersist(blocking = false)
+        // survivors is localCheckpoint()'d — Dataset.unpersist() only
+        // talks to the CacheManager and never frees checkpoint blocks,
+        // so a long-running stream would accumulate one checkpointed
+        // batch per trigger (the leak class measured to degrade CC
+        // 4 s → 55 s). Release the backing RDD explicitly.
+        DatasetBridge.releaseCheckpoint(survivors)
         ()
       }
       .start()
+
+  /** Batch reconcile job closing the stream's documented estimated-vs-
+    * exact gap: re-runs the EXACT shingle-set Jaccard over the corpus the
+    * stream processed and diffs it against the store's admit/drop
+    * decisions. Emits one row per disagreement:
+    *
+    *  - `false_admit`: both docs were admitted, but their exact Jaccard
+    *    ≥ threshold — a duplicate the estimate let through (id_a, id_b,
+    *    exact jaccard);
+    *  - `false_drop`: a dropped doc whose exact Jaccard vs EVERY admitted
+    *    doc is < threshold — the estimate over-fired (id_a = dropped doc,
+    *    id_b = its closest admitted doc or null, jaccard = that best
+    *    exact value or 0).
+    *
+    * `corpus` is the full (id, text) set that passed through the stream
+    * (admitted docs live in outPath, but reconcile needs dropped texts
+    * too — the ingest source itself). Drop decisions are judged against
+    * the ADMITTED set only: a doc dropped transitively against another
+    * doc that was itself dropped in the same batch can flag as
+    * false_drop — by construction such chains only occur when the
+    * estimate fired twice, so the flag is the right signal to re-ingest.
+    *
+    * The result is localCheckpoint()'d (interior fan-out caches are
+    * released before returning); free it with
+    * DatasetBridge.releaseCheckpoint when done. */
+  def reconcileStore(storePath: String, corpus: DataFrame,
+                     cfg: Dedup.MinHashConfig =
+                       Dedup.MinHashConfig(oph = true),
+                     idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val admittedIds = spark.read.parquet(storePath)
+      .select(col(idCol)).distinct()
+    val admitted = corpus.join(admittedIds, Seq(idCol), "left_semi")
+    val dropped = corpus.join(admittedIds, Seq(idCol), "left_anti")
+
+    // exact near-dup pairs among admitted docs = duplicates that got in
+    val admitPairs = Dedup.minHashNearDups(admitted, cfg, idCol, textCol)
+    val falseAdmits = admitPairs
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        lit("false_admit").as("kind"))
+
+    // dropped docs vs admitted: LSH candidates + exact verify, then keep
+    // docs whose best exact Jaccard never reaches the threshold
+    val exploded = Dedup.explodedShingles(corpus, idCol, textCol,
+      cfg.shingleSize).persist(lvl)
+    val sigs = if (cfg.oph) Dedup.minHashSignaturesOPH(exploded, cfg, idCol)
+               else Dedup.minHashSignatures(exploded, cfg, idCol)
+    val buckets = Dedup.lshBuckets(sigs, cfg, idCol).persist(lvl)
+    val dB = buckets.join(admittedIds, Seq(idCol), "left_anti")
+      .select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val aB = buckets.join(admittedIds, Seq(idCol), "left_semi")
+      .select(col("band").as("band_r"), col("bucket").as("bucket_r"),
+        col(idCol).as("id_b"))
+    val cands = dB.join(aB, col("band") === col("band_r") &&
+        col("bucket") === col("bucket_r"))
+      .select("id_a", "id_b").distinct()
+    val best = Dedup.jaccardVerify(exploded, cands, idCol)
+      .groupBy(col("id_a"))
+      .agg(max(struct(col("jaccard"), col("id_b"))).as("b"))
+      .select(col("id_a"), col("b.id_b").as("id_b"),
+        col("b.jaccard").as("jaccard"))
+    val falseDrops = dropped.select(col(idCol).as("id_a"))
+      .join(best, Seq("id_a"), "left")
+      .filter(col("jaccard").isNull ||
+        col("jaccard") < cfg.jaccardThreshold)
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        lit("false_drop").as("kind"))
+
+    val out = falseAdmits.unionByName(falseDrops).localCheckpoint()
+    admitPairs.unpersist(blocking = false)
+    exploded.unpersist(blocking = false)
+    buckets.unpersist(blocking = false)
+    out
+  }
 }

@@ -72,4 +72,100 @@ class IvfIndexSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning on the cells scan:\n$plan")
   }
+
+  test("probe side stays kernel-shaped at a √n-sized quantizer " +
+      "(no literal centroid trees, no interpreted HOFs)") {
+    // 1k centroids × 64 dims — the shape where the old unrolled
+    // planeLit + aggregate(zip_with(..)) form put ~0.5 MiB of literal
+    // doubles in the plan and evaluated them in the interpreter
+    val big = Array.tabulate(1000, 64)((c, d) => ((c * 64 + d) % 7) * 0.1)
+    val probed = queries.select(col("query_id"),
+      Ann.nearestCentroids(col("embedding"), big, 4).as("probes"))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+      s"interpreted HOFs back on the probe side:\n$plan")
+    assert(plan.length < 20000,
+      s"probe plan ballooned (${plan.length} chars) — literal centroid " +
+        "tree is back")
+    // the kernel executes (codegen path) and returns nProbe indices
+    val rows = probed.collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getSeq[Int](1).length == 4))
+    // parity with the sorted-struct semantics: ascending (L2, index)
+    val emb = corpus.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    def l2(c: Array[Double]): Double =
+      emb.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = big.zipWithIndex.map { case (c, i) => (l2(c), i) }
+      .sortBy(identity).take(4).map(_._2).toSeq
+    val got = probed.filter(col("query_id") === 0)
+      .head().getSeq[Int](1)
+    assert(got == expect, s"kernel order diverged: $got vs $expect")
+  }
+
+  test("append/read refuse an index whose meta stamp mismatches") {
+    indexReady
+    import spark.implicits._
+    // clone the index, then tamper the fingerprint
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles.foreach(f =>
+          cp(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    cp(new java.io.File(dir), new java.io.File(dir2))
+    // NIO rewrites below would trip the copied Hadoop .crc sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir2/.ivf_meta.json.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/ivf_meta.json"),
+      s"""{"version":${Ann.IndexVersion},"nCentroids":8,"dims":32,"seed":11}""")
+    val novel = Seq((7777L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(novel, dir2)
+    }
+    assert(e1.getMessage.contains("dims"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/ivf_meta.json"),
+      s"""{"version":99,"nCentroids":8,"dims":64,"seed":11}""")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.ivfTopKIndexed(spark, dir2, queries, k = 1)
+    }
+    assert(e2.getMessage.contains("version"))
+    // a missing stamp (pre-stamp index) also fails loudly
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir2/ivf_meta.json"))
+    val e3 = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(novel, dir2)
+    }
+    assert(e3.getMessage.contains("ivf_meta"))
+  }
+
+  test("quantizer trains on a bounded deterministic sample") {
+    import spark.implicits._
+    // 3000 rows ≫ cap = 256·nCentroids = 512 at nCentroids = 2
+    val big = (0L until 3000L).map { i =>
+      val lobe = (i % 2).toInt
+      (i, Array.tabulate(64)(d =>
+        (if (d / 32 == lobe) 1.0f else 0.0f) +
+          0.01f * (((i * 17 + d * 3) % 11) - 5)))
+    }.toDF("vec_id", "embedding")
+    val n = Ann.trainingSample(big, 2, "vec_id").count()
+    // hash-mod sampling is expectation-bounded (no orderBy+limit funnel);
+    // allow binomial slack over the 512 target
+    assert(n > 0 && n <= (512 * 1.3).toInt,
+      s"training sample not bounded: $n rows for cap 512")
+    assert(Ann.trainingSample(big, 2, "vec_id").count() == n, "nondeterministic")
+    // centroids from the sample still separate the lobes
+    val cents = Ann.trainCentroids(big, Ann.IvfConfig(nCentroids = 2))
+    val qs = big.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top1 = Ann.ivfTopK(big, qs, k = 1,
+      Ann.IvfConfig(nCentroids = 2, nProbe = 1)).collect()
+    assert(top1.length == 2 &&
+      top1.forall(r => r.getLong(1) % 2 == r.getLong(0) % 2),
+      s"sampled-quantizer IVF lost lobe separation: ${top1.mkString}")
+    assert(cents.length == 2)
+  }
 }

@@ -62,4 +62,66 @@ class NearDupStreamSpec extends AnyFunSuite with SparkFixture {
     assert(admitted == Set(100L, 101L, 103L),
       s"102 duplicates stored 100; admitted: $admitted")
   }
+
+  test("reconcile catches a borderline drop (estimate ≥ t, exact < t)") {
+    import spark.implicits._
+    import graft.data.Dedup
+    val cfg = Dedup.MinHashConfig(oph = true, jaccardThreshold = 0.7)
+
+    // deterministic search for a doc pair whose SIGNATURE-estimated
+    // Jaccard crosses the 0.7 gate while the exact shingle Jaccard stays
+    // below it — the ±1/√k estimator noise the streaming trade documents
+    def exactJac(a: String, b: String): Double = {
+      def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val base = doc(30)
+    val toks = base.split(" ")
+    // edit m well-spread tokens starting at offset o: exact Jaccard lands
+    // ≈ (38-3m)/(38+3m); m=3 sits at ≈0.62 < t where the ±1/√k estimator
+    // noise can still push the signature estimate over t for SOME (o, m)
+    val combos = for (m <- 2 to 4; o <- 0 until 12) yield (m, o)
+    val variants = combos.map { case (m, o) =>
+      val pos = (0 until m).map(j => (o + 11 * j) % toks.length).toSet
+      toks.zipWithIndex.map { case (t, i) =>
+        if (pos(i)) s"ED$i" else t
+      }.mkString(" ")
+    }
+    // ONE batched signature pass over base + all variants
+    val varDf = ((0L, base) +: variants.zipWithIndex.map {
+      case (v, i) => (i + 1L, v)
+    }).toDF("doc_id", "text")
+    val sigMap = Dedup.minHashSignaturesOPH(
+      Dedup.explodedShingles(varDf, "doc_id", "text", cfg.shingleSize), cfg)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(i: Long): Double =
+      sigMap(0L).zip(sigMap(i)).count { case (x, y) => x == y }.toDouble /
+        cfg.numHashes
+    val borderline = variants.zipWithIndex.find { case (v, i) =>
+      est(i + 1L) >= cfg.jaccardThreshold &&
+        exactJac(base, v) < cfg.jaccardThreshold
+    }
+    assert(borderline.isDefined,
+      "no borderline variant in the deterministic search window — widen it")
+    val edited = borderline.get._1
+
+    val store = s"$dir/reconcilestore"
+    val s1 = NearDupStream.nearDupBatch(
+      Seq((1L, base)).toDF("doc_id", "text"), store, cfg)
+    assert(s1.count() == 1)
+    val s2 = NearDupStream.nearDupBatch(
+      Seq((2L, edited)).toDF("doc_id", "text"), store, cfg)
+    assert(s2.count() == 0, "the estimate should (wrongly) drop doc 2")
+
+    val corpus = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val rec = NearDupStream.reconcileStore(store, corpus, cfg)
+    val diffs = rec.collect()
+    val falseDrops = diffs.filter(_.getString(3) == "false_drop")
+    assert(falseDrops.length == 1 && falseDrops.head.getLong(0) == 2L,
+      s"reconcile missed the borderline drop: ${diffs.mkString(";")}")
+    assert(falseDrops.head.getDouble(2) < cfg.jaccardThreshold)
+    assert(!diffs.exists(_.getString(3) == "false_admit"))
+    org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(rec)
+  }
 }
