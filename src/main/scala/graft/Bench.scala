@@ -233,16 +233,15 @@ object Bench {
         s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         s
       }
-      // paired rounds, BEST per-round efficiency: taking the best small
-      // and best big INDEPENDENTLY lets opposite-direction drift
-      // compound in the ratio (measured 0.76–0.90 across identical
-      // builds). A round's two runs execute back-to-back so drift
-      // largely cancels inside each ratio — and the remaining noise on
-      // this box is one-directional (host-level steal, load-avg ~6 with
-      // zero local processes observed mid-run, can only LOWER a ratio
-      // of identical-code runs; median rounds still measured 0.65
-      // during contended windows). The max paired round is therefore
-      // the least-contaminated estimate of the plan's scaling.
+      // paired rounds: a round's two runs execute back-to-back so drift
+      // largely cancels inside each ratio (taking best small and best
+      // big INDEPENDENTLY measured 0.76–0.90 across identical builds).
+      // The published efficiency comes from the BEST-TOTAL round — the
+      // round that ran fastest overall, i.e. the least host-contended
+      // window, selected by a criterion independent of the ratio itself
+      // (selecting the MAX ratio would bias a noisy statistic upward;
+      // the same rule linkageBenchWarm uses). All round ratios are
+      // published alongside so the spread is visible.
       val rounds = (0 until 3).map { _ =>
         val small = kernelSession(bigCpus / 4)
         val (_, ts) = scoringKernelBench(small, scalingConvs)
@@ -252,16 +251,20 @@ object Bench {
         big.stop()
         (np, ts, tb)
       }
+      def effOf(ts: Double, tb: Double): Double = (ts / tb) / 4.0
       val (nPairsB, tSmall, tBig) =
-        rounds.maxBy { case (_, ts, tb) => ts / tb }
+        rounds.minBy { case (_, ts, tb) => ts + tb }
       val thrBig = nPairsB / tBig
       val thrSmall = nPairsB / tSmall
-      val eff = (thrBig / thrSmall) / 4.0
+      val eff = effOf(tSmall, tBig)
+      val spread = rounds.map { case (_, ts, tb) => f"${effOf(ts, tb)}%.4f" }
+        .mkString("[", ",", "]")
       f""","scaling":{"cpus_small":${bigCpus / 4},"cpus_big":$bigCpus,""" +
         f""""kernel_pairs":$nPairsB,""" +
         f""""pairs_per_sec_small":${thrSmall}%.1f,""" +
         f""""pairs_per_sec_big":${thrBig}%.1f,""" +
-        f""""efficiency":${eff}%.4f}"""
+        f""""efficiency":${eff}%.4f,""" +
+        f""""efficiency_rounds":$spread}"""
     } else ""
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }

@@ -50,8 +50,21 @@ object AddressTagger {
     val toks = split(trim(addr), "\\s+") // "" → [""], never empty
     val n = size(toks)
     val first = element_at(toks, 1)
-    val hasNum = first.rlike("^[0-9]+[A-Z]?$")
+    // AddressNumber: plain "205"/"42A", or the Wisconsin grid style
+    // "N100W200"/"W204N11912" (usaddress tags the whole grid token
+    // AddressNumber; promoted from the coverage-boundary negatives)
+    val hasNum = first.rlike("^[0-9]+[A-Z]?$") ||
+      first.rlike("^[A-Z][0-9]+[A-Z][0-9]+$")
     val number = when(hasNum, first).otherwise(lit(""))
+
+    // USPS box routes (HC/RR/PO BOX…): usaddress labels every token
+    // USPSBoxType/USPSBoxID/USPSBoxGroup*, ALL of which addr_parse drops
+    // (matching.py:34–59 keeps only the five listed labels) — the
+    // reference's struct for these is all-empty; mirror it instead of
+    // last-wins mis-reading the box id as a street
+    val boxRoute = trim(addr).rlike(
+      "^(HC|RR|RT|RURAL ROUTE|STAR ROUTE|P ?O BOX|POB) [0-9]+( BOX [0-9A-Z]+)?$" +
+        "|^P ?O BOX [0-9A-Z]+$")
 
     // occupancy: trailing "<TYPE> <id>" pair, or a trailing "#<id>"
     val last = element_at(toks, -1)
@@ -88,8 +101,13 @@ object AddressTagger {
     val street = when(size(streetToks) >= 1, element_at(streetToks, -1))
       .otherwise(lit(""))
 
-    struct(number.as("number"), street.as("street"), suffix.as("suffix"),
-      prefix.as("prefix"), value.as("value"), trim(addr).as("full"))
+    val tagged = struct(number.as("number"), street.as("street"),
+      suffix.as("suffix"), prefix.as("prefix"), value.as("value"),
+      trim(addr).as("full"))
+    val e = lit("")
+    when(boxRoute, struct(e.as("number"), e.as("street"), e.as("suffix"),
+      e.as("prefix"), e.as("value"), trim(addr).as("full")))
+      .otherwise(tagged)
   }
 
   /** Extract-shaped records (Extract.Header) → Scoring/Blocking-ready:

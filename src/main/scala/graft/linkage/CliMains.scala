@@ -183,7 +183,18 @@ object BlockMain {
     require(clkTables.nonEmpty, s"no CLK table dirs under $clkPath")
 
     clkTables.foreach { dir =>
-      val clks = spark.read.json(dir.toString)
+      // positional identity precondition: withScanPosition is only
+      // well-defined over ONE file (multi-part scans order splits by
+      // size, not name — record_index would silently diverge from the
+      // member order a zip consumer sees). writeClksJson guarantees
+      // this; refuse foreign sharded tables instead of mis-numbering.
+      val dataFiles = fs.listStatus(dir)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+      require(dataFiles.length == 1,
+        s"CLK table $dir has ${dataFiles.length} data files; positional " +
+          "record identity needs exactly one (re-export with writeClksJson)")
+      val clks = spark.read.json(dataFiles.head.getPath.toString)
         .select(unbase64(col("clks")).as("clk"))
       val indexed = Positions.withScanPosition(clks, "record_index")
         .withColumnRenamed("record_index", "conv_id")

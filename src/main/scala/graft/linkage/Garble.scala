@@ -84,10 +84,23 @@ object Garble {
         col("household_street_address"), col("household_zip")).as("clk"))
   }
 
-  /** CLK JSON sink (S8): {"clks": ["<base64>", …]} — written as one JSON
-    * doc per partition-friendly shard under path/. */
+  /** CLK JSON sink (S8): {"clks": ["<base64>", …]} — ONE json file.
+    *
+    * Single-file is load-bearing, not a convenience: the CLK wire format
+    * is positional (no record id — downstream blocking and the linkage
+    * agent identify a record by its row index), and Spark's file scan
+    * orders multi-part reads by SPLIT SIZE descending, not by part-file
+    * name, so a sharded CLK table read back for blocking could number
+    * records differently from the name-ordered member sequence a zip
+    * consumer sees — silently mis-mapping every LINK_ID→PATID
+    * resolution. coalesce(1) concatenates the narrow projection's
+    * partitions in index order, preserving the pii source-row order end
+    * to end. (The reference's own format is one JSON doc consumed by a
+    * single-node agent, so one file IS the wire shape — scale the
+    * linkage itself, not this export.) */
   def writeClksJson(clksDf: DataFrame, path: String): Unit =
     clksDf.select(base64(col("clk")).as("clks"))
+      .coalesce(1)
       .write.mode("overwrite").json(path)
 
   /** λ-fold block keys (block.py:41–44 + lambda.json): (conv_id,

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *     [--buckets <n>]            persist records conv_id-bucketed (n
   *                                buckets) so pair-attribute joins never
   *                                shuffle the record structs
+  *     [--max-turns <n>]          runaway-conversation guard: keep only
+  *                                the n lowest-turn_idx turns per
+  *                                conversation (bounds the fold buffer;
+  *                                breaks per-turn equality for truncated
+  *                                conversations by design)
   *     [--householddef <csv>]     household definitions file: skip
   *                                inference, CLK-encode the given
   *                                households (households.py -d)
@@ -107,7 +112,8 @@ object LinkageMain {
       exactAddresses = opts.contains("exact-addresses"),
       pairsFile = opts.get("pairsfile"),
       bucketedRecords = opts.get("buckets")
-        .map(n => ("graft_records_bucketed", n.toInt)))
+        .map(n => ("graft_records_bucketed", n.toInt)),
+      maxTurns = opts.get("max-turns").map(_.toInt).getOrElse(0))
     val result = Pipeline.run(spark, transcripts, cfg)
 
     TableIO.write(result.records.drop("turns"), s"$out/records")

@@ -43,7 +43,8 @@ object Pipeline {
         * [[autoBucketThreshold]] records when unset here. */
       bucketedRecords: Option[(String, Int)] = None,
       /** Records count at which the default run auto-switches to a
-        * bucketed attribute side (writes table "graft_records_auto").
+        * bucketed attribute side (writes a run-unique
+        * "graft_records_auto_<id>" table).
         * Below it the pairs relation is comfortably broadcast-sized and
         * the table write would be pure overhead. */
       autoBucketThreshold: Long = 1000000L,
@@ -52,7 +53,14 @@ object Pipeline {
         * negligible below ~10⁹ records. false: the conv_id strings
         * themselves — collision-free at any scale (the >10⁹ setting),
         * paying wider shuffle keys. */
-      hashNodeIds: Boolean = true)
+      hashNodeIds: Boolean = true,
+      /** Runaway-conversation guard (Fold.fold maxTurns): > 0 keeps only
+        * the maxTurns lowest-turn_idx turns per conversation before the
+        * fold, bounding the per-conversation aggregation buffer a
+        * pathological agent loop would otherwise blow up. Truncation
+        * BREAKS the per-turn equality invariant for the truncated
+        * conversations by design — default off. */
+      maxTurns: Int = 0)
 
   case class Result(
       records: DataFrame,
@@ -82,7 +90,7 @@ object Pipeline {
 
   def run(spark: SparkSession, transcripts: DataFrame,
           cfg: Config = Config()): Result = {
-    val records = Fold.fold(transcripts)
+    val records = Fold.fold(transcripts, cfg.maxTurns)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRecords = records.count() // materializes the persist
 
@@ -99,9 +107,13 @@ object Pipeline {
       case None if nRecords >= cfg.autoBucketThreshold =>
         val buckets = math.min(4096,
           math.max(32, (nRecords / 250000L).toInt))
-        TableIO.writeBucketed(records.drop("turns"), "graft_records_auto",
+        // run-unique name: two concurrent runs sharing one warehouse must
+        // not clobber each other's auto table (the fixed name did)
+        val table = "graft_records_auto_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+        TableIO.writeBucketed(records.drop("turns"), table,
           "conv_id", buckets)
-        TableIO.readTable(spark, "graft_records_auto")
+        TableIO.readTable(spark, table)
       case None => records
     }
 
@@ -206,7 +218,7 @@ object Pipeline {
   def incremental(spark: SparkSession, existingRecords: DataFrame,
                   previousMatches: DataFrame, newTranscripts: DataFrame,
                   cfg: Config = Config()): Result = {
-    val newRecords = Fold.fold(newTranscripts)
+    val newRecords = Fold.fold(newTranscripts, cfg.maxTurns)
       .select(piiCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = existingRecords.select(piiCols.map(col): _*)

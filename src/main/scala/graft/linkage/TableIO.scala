@@ -38,16 +38,25 @@ object TableIO {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
-    // saveAsTable(overwrite) refuses to ADOPT a warehouse directory that
-    // exists without a catalog entry (LOCATION_ALREADY_EXISTS) — exactly
-    // what a table written by a previous session/JVM leaves behind, since
-    // the in-memory catalog dies with the session but spark-warehouse/
-    // does not. Drop any catalog entry, then clear the orphan location.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // A table the CATALOG knows about is overwritten through saveAsTable
+    // itself — never by a hand-computed path delete (the old code derived
+    // <warehouse>/<table.toLowerCase>, which is the wrong path for a
+    // qualified db.table identifier or a custom-LOCATION table, and on a
+    // shared warehouse deleted data this session does not own).
+    //
+    // What saveAsTable cannot handle alone is the ORPHAN case: a
+    // warehouse directory left by a previous JVM whose in-memory catalog
+    // died with it — overwrite then fails with LOCATION_ALREADY_EXISTS.
+    // Clear it only when (a) the catalog has NO entry (so no live table
+    // is harmed), (b) the name is unqualified (the default-database
+    // layout <warehouse>/<name> is the only one we can derive), keeping
+    // the delete inside this session's warehouse by construction.
+    if (!spark.catalog.tableExists(table) && !table.contains(".")) {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

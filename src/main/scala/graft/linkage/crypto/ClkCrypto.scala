@@ -1,8 +1,21 @@
 package graft.linkage.crypto
 
-/** Crypto-grade CLK Bloom encoding — the anonlink/clkhash "blakeHash"
-  * strategy the reference's garble stage shells out for
-  * (garble.py:128–145; example-schema/name-sex-dob-addr.json):
+/** Crypto-grade CLK Bloom encoding in the SHAPE of anonlink/clkhash's
+  * "blakeHash" strategy — NOT wire-compatible with live anonlink agents.
+  *
+  * Non-interop caveat first: the HKDF `info` string, the key-slot
+  * layout, and the salt scheme below are this engine's own choices, and
+  * the power-of-two `l` requirement rejects some configs clkhash would
+  * accept — CLKs produced here will NOT byte-match a clkhash release,
+  * and cannot be mixed with clkhash-produced CLKs in one linkage. Treat
+  * this as a self-contained crypto CLK whose both sides must be encoded
+  * by THIS engine. (Byte-parity can't even be certified in this offline
+  * sandbox — no clkhash to diff against; if interop is ever needed, the
+  * `info` string and key layout are the declared swap points at
+  * [[fieldKeys]].)
+  *
+  * What it mirrors — the strategy the reference's garble stage shells
+  * out for (garble.py:128–145; example-schema/name-sex-dob-addr.json):
   *
   *  - one independent 64-byte key per PII field, derived from the site
   *    secret with HKDF-SHA256 (clkhash key_derivation.generate_key_lists),
@@ -15,13 +28,9 @@ package graft.linkage.crypto
   *
   * The PRIMITIVES are exact (RFC 7693 / RFC 5869, vector-tested in
   * CryptoSpec); the COMPOSITION follows clkhash's published structure.
-  * Byte-parity with a specific clkhash release can't be certified in this
-  * offline sandbox (no clkhash to diff against) — the `info` string and
-  * key-slot layout are this engine's own; swapping them is a one-line
-  * change at `fieldKeys` if interop against live anonlink agents is
-  * needed. The default engine path (expr.Clk, seeded-murmur) remains the
-  * fast non-crypto variant; this one is opt-in via
-  * Garble.clksExact / GarbleMain --exact-crypto.
+  * The default engine path (expr.Clk, seeded-murmur) remains the fast
+  * non-crypto variant; this one is opt-in via Garble.clksExact /
+  * GarbleMain --exact-crypto.
   */
 object ClkCrypto {
 

@@ -50,34 +50,45 @@ class AddressTaggerSpec extends AnyFunSuite with SparkFixture {
       "suffix" -> "", "prefix" -> "", "value" -> ""))
   }
 
+  test("grid and USPS-box classes tag like the CRF (promoted positives)") {
+    // Wisconsin grid style: usaddress tags the whole grid token
+    // AddressNumber — the number rule now accepts it
+    assert(tagOne("N100W200 COUNTY ROAD") == Map("number" -> "N100W200",
+      "street" -> "COUNTY", "suffix" -> "ROAD", "prefix" -> "",
+      "value" -> ""))
+    assert(tagOne("W204N11912 LANNON DR") == Map("number" -> "W204N11912",
+      "street" -> "LANNON", "suffix" -> "DR", "prefix" -> "",
+      "value" -> ""))
+    // USPS box routes: usaddress labels every token USPSBox*, all of
+    // which addr_parse DROPS (matching.py:34–59) → all-empty struct
+    val empty = Map("number" -> "", "street" -> "", "suffix" -> "",
+      "prefix" -> "", "value" -> "")
+    assert(tagOne("HC 68 BOX 23A") == empty)
+    assert(tagOne("RURAL ROUTE 4") == empty)
+    assert(tagOne("RR 2 BOX 152") == empty)
+    assert(tagOne("PO BOX 1234") == empty)
+    // identical strings still score 1.0 (exact-match short-circuit)
+    assert(scoreRaw("HC 68 BOX 23A", "HC 68 BOX 23A") == 1.0)
+    assert(scoreRaw("N100W200 COUNTY ROAD", "N100W200 COUNTY ROAD") == 1.0)
+  }
+
   test("coverage boundary: addresses the rule grammar mis-tags vs the CRF") {
     // The lexicon'd grammar covers the common ~95% and the calibration
-    // exemplars; these cases document where it DIVERGES from usaddress
-    // (matching.py:34–59) and why that is accepted: both sides of a pair
-    // are tagged by the SAME grammar, the whole-string JW floor
+    // exemplars; these cases document where it still DIVERGES from
+    // usaddress (matching.py:34–59) and why that is accepted: both sides
+    // of a pair are tagged by the SAME grammar, the whole-string JW floor
     // (matching.py:245–248) still scores the raw strings, and the shapes
     // below are rare in normalized PII feeds.
     //
-    // Wisconsin grid style: usaddress tags N100W200 AddressNumber; the
-    // grammar's ^[0-9]+[A-Z]?$ number rule rejects it, so the token
-    // falls through as a leading directional-ish street token.
-    val grid = tagOne("N100W200 COUNTY ROAD")
-    assert(grid("number") == "")
-    // highway contract route: usaddress tags HC/BOX as USPSBox* labels
-    // (all DROPPED by addr_parse → all-empty struct); the grammar has no
-    // USPSBox lexicon and mis-reads BOX 23A's "23A" as street body.
-    val hc = tagOne("HC 68 BOX 23A")
-    assert(hc("street") == "23A") // documented divergence, not a claim
-    // rural route, no CRF: usaddress would drop everything; last-wins
-    // leaves the trailing token as street.
-    assert(tagOne("RURAL ROUTE 4") ==
-      Map("number" -> "", "street" -> "4", "suffix" -> "",
+    // OccupancyType with NO identifier: usaddress tags REAR as
+    // OccupancyType (prefix=REAR, value=""); the grammar's trailing
+    // "<TYPE> <id>" pair rule needs an id, so REAR leaks into the street
+    // body and wins the last-token street slot.
+    assert(tagOne("12 ELM ST REAR") ==
+      Map("number" -> "12", "street" -> "REAR", "suffix" -> "",
         "prefix" -> "", "value" -> ""))
-    // what MATTERS is symmetric treatment: identical grid/HC strings
-    // still score 1.0 (exact-match short-circuit) and near-identical
-    // ones stay comparable via the whole-string floor.
-    assert(scoreRaw("HC 68 BOX 23A", "HC 68 BOX 23A") == 1.0)
-    assert(scoreRaw("N100W200 COUNTY ROAD", "N100W200 COUNTY ROAD") == 1.0)
+    // symmetric treatment keeps identical strings at 1.0 regardless
+    assert(scoreRaw("12 ELM ST REAR", "12 ELM ST REAR") == 1.0)
   }
 
   private def scoreRaw(a: String, b: String): Double = {

@@ -89,6 +89,23 @@ class CliMainsSpec extends AnyFunSuite with SparkFixture {
     assert(blocks.select("record_index").distinct().count() == 2)
   }
 
+  test("BlockMain refuses a sharded CLK table (positional identity guard)") {
+    // a multi-part table read back would number records by split size,
+    // not member order — BlockMain must fail loudly, not mis-map
+    import spark.implicits._
+    Seq("QUJD", "REVG").toDF("clks").repartition(2)
+      .write.mode("overwrite").json(s"$base/shardedclk/tab")
+    val parts = new java.io.File(s"$base/shardedclk/tab")
+      .listFiles.count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts == 2, "setup: expected a 2-part table")
+    val e = intercept[IllegalArgumentException] {
+      BlockMain.run(spark, Map(
+        "clkpath" -> s"$base/shardedclk",
+        "output" -> s"$base/shardedout"))
+    }
+    assert(e.getMessage.contains("data files"))
+  }
+
   test("ResolveMain: agent zips → linkid/householdid CSVs (file positions)") {
     import scala.jdk.CollectionConverters._
     def zipWithCsv(zipPath: String, member: String, csv: String): Unit = {

@@ -88,8 +88,10 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
     // attribute path, and clusters must match the in-memory path
     val auto = Pipeline.run(spark, transcripts,
       Pipeline.Config(autoBucketThreshold = 1))
-    assert(spark.catalog.tableExists("graft_records_auto"),
-      "auto path must have written the bucketed records table")
+    // run-unique table name (concurrent-run safety): match by prefix
+    assert(spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_records_auto_")),
+      "auto path must have written a bucketed records table")
     val plain = Pipeline.run(spark, transcripts)
     val a = auto.labeledRecords.select("conv_id", "cluster_id")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -115,6 +117,41 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
     val meta = Extract.readMetadata(spark, s"$out/households_metadata.json")
     assert(meta("households_inferred") == "false")
     assert(meta("number_of_households") == "2")
+  }
+
+  test("max-turns bounds a runaway mega-conversation's fold") {
+    import spark.implicits._
+    // one synthetic agent loop at 50k turns next to normal conversations:
+    // unbounded fold materializes all 50k turns in ONE aggregation
+    // buffer; maxTurns=20 keeps only the 20 lowest turn_idx rows
+    val mega = (0 until 50000).map(i =>
+      ("mega", i, if (i % 2 == 0) "user" else "assistant",
+        s"loop iteration $i", "", java.sql.Timestamp.valueOf(
+          "2026-01-01 00:00:00")))
+    val normal = (0 until 5).flatMap(c => (0 until 4).map(i =>
+      (s"conv$c", i, "user", s"hello $c $i", "",
+        java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))))
+    val t = (mega ++ normal)
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val bounded = Pipeline.run(spark, t, Pipeline.Config(maxTurns = 20))
+    val megaRec = bounded.records.filter(col("conv_id") === "mega")
+      .select(size(col("turns"))).head().getInt(0)
+    assert(megaRec == 20, s"fold buffer not bounded: $megaRec turns kept")
+    // truncation is deterministic: the LOWEST turn_idx rows survive
+    val kept = bounded.records.filter(col("conv_id") === "mega")
+      .select(transform(col("turns"), x => x.getField("turn_idx")))
+      .head().getSeq[Int](0)
+    assert(kept == (0 until 20), s"unexpected truncation window: $kept")
+    // documented invariant breakage: the truncated record's full-text
+    // derivation no longer equals the unbounded fold's
+    val full = Pipeline.run(spark, t, Pipeline.Config())
+    val fullMega = full.records.filter(col("conv_id") === "mega")
+      .select(size(col("turns"))).head().getInt(0)
+    assert(fullMega == 50000)
+    // normal conversations are untouched by the guard
+    assert(bounded.records.filter(col("conv_id") =!= "mega")
+      .select(size(col("turns"))).collect().forall(_.getInt(0) == 4))
+    bounded.unpersist(); full.unpersist()
   }
 
   test("testrun scoring files have the reference shape") {
