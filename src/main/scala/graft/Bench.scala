@@ -155,9 +155,14 @@ object Bench {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toInt
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     // the scaling kernel needs enough work to amortize per-stage fixed
-    // costs — use its own corpus size, independent of the pipeline bench
+    // costs — use its own corpus size, independent of the pipeline bench.
+    // 200k convs ≈ 218k pairs: at the old 100k size the big config
+    // finished in ~5 s and job-submit/stage-tail fixed costs kept 16
+    // threads ~40% idle (vmstat), capping measured throughput at ~21k
+    // pairs/s — which round 1–3 misread as a socket bandwidth ceiling;
+    // the doubled kernel runs the same plan at 26k pairs/s on 16 threads
     val scalingConvs =
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "100000").toInt
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "200000").toInt
 
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
     val spark = session(cpus)
@@ -236,28 +241,34 @@ object Bench {
       // paired rounds: a round's two runs execute back-to-back so drift
       // largely cancels inside each ratio (taking best small and best
       // big INDEPENDENTLY measured 0.76–0.90 across identical builds).
-      // The published efficiency comes from the BEST-TOTAL round — the
-      // round that ran fastest overall, i.e. the least host-contended
-      // window, selected by a criterion independent of the ratio itself
-      // (selecting the MAX ratio would bias a noisy statistic upward;
-      // the same rule linkageBenchWarm uses). All round ratios are
-      // published alongside so the spread is visible.
-      val rounds = (0 until 3).map { _ =>
+      // Round 0 is a discarded JIT warmup — the big config's generated
+      // scoring code is still compiling on its first session (measured:
+      // big-config throughput climbs 22.9k → 26.5k across rounds in one
+      // JVM). The published efficiency comes from the BEST-TOTAL of the
+      // measured rounds — the round that ran fastest overall, i.e. the
+      // least host-contended window, selected by a criterion independent
+      // of the ratio itself (selecting the MAX ratio would bias a noisy
+      // statistic upward; the same rule linkageBenchWarm uses). All
+      // measured round ratios are published alongside as the spread.
+      val nRounds =
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt
+      val rounds = (0 until nRounds).map { _ =>
         val small = kernelSession(bigCpus / 4)
-        val (_, ts) = scoringKernelBench(small, scalingConvs)
+        val (_, ts) = scoringKernelBench(small, scalingConvs, reps = 2)
         small.stop()
         val big = kernelSession(bigCpus)
-        val (np, tb) = scoringKernelBench(big, scalingConvs)
+        val (np, tb) = scoringKernelBench(big, scalingConvs, reps = 2)
         big.stop()
         (np, ts, tb)
       }
       def effOf(ts: Double, tb: Double): Double = (ts / tb) / 4.0
+      val measured = if (rounds.length > 1) rounds.tail else rounds
       val (nPairsB, tSmall, tBig) =
-        rounds.minBy { case (_, ts, tb) => ts + tb }
+        measured.minBy { case (_, ts, tb) => ts + tb }
       val thrBig = nPairsB / tBig
       val thrSmall = nPairsB / tSmall
       val eff = effOf(tSmall, tBig)
-      val spread = rounds.map { case (_, ts, tb) => f"${effOf(ts, tb)}%.4f" }
+      val spread = measured.map { case (_, ts, tb) => f"${effOf(ts, tb)}%.4f" }
         .mkString("[", ",", "]")
       f""","scaling":{"cpus_small":${bigCpus / 4},"cpus_big":$bigCpus,""" +
         f""""kernel_pairs":$nPairsB,""" +

@@ -179,29 +179,27 @@ object TextAnalysis {
     * choice); pass `md5` for a cross-engine-checkable variant (the
     * q_fingerprints oracle runs the same md5 min-gram in DuckDB).
     *
-    * Plan shape (the minhash lesson): explode the grams, hash each in
-    * its OWN projection below the Generate (an expression inlined next
-    * to explode() lands in the Project above it), min/max as partial
-    * aggregation map-side — the per-gram hash runs in whole-stage
-    * codegen. The earlier `transform(grams, g => hash(g))` form ran the
-    * hash as an interpreted HOF lambda per gram. Needs a unique `idCol`
-    * for the join-back (same contract as every other per-doc op). */
+    * Plan shape — MEASURED, and the opposite of the minhash lesson: the
+    * per-gram hash does run as an interpreted HOF lambda here, but an
+    * explode + partial-min-agg + join-back restructure (the shape that
+    * won minhash 12.4 s → 9.2 s) LOST at sf0.1 for both hash choices
+    * (xxh64 0.67 s row-form vs 0.81 s exploded; md5 0.74 vs 0.94).
+    * Minhash does k=64 hashes per exploded row — hoisting them into
+    * codegen pays for its shuffle; fingerprinting does ONE, and the
+    * added (id, hash) shuffle + agg + join-back costs more than the
+    * interpreter overhead it removes. Zero-shuffle per-row projection
+    * is the right 100-TB shape for a 1-hash/gram op. */
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    k: Int = 5,
-                   hash: Column => Column = xxhash64(_),
-                   idCol: String = "doc_id"): DataFrame = {
+                   hash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = wsTokens(col(textCol))
     val cnt = size(toks)
-    val grams = when(cnt >= k, Dedup.wordNgrams(toks, cnt, k))
-      .otherwise(array(col(textCol)))
-    val fps = docs
-      .select(col(idCol), explode(grams).as("_gram"))
-      .select(col(idCol), hash(col("_gram")).as("_gh"))
-      .groupBy(col(idCol))
-      .agg(min(col("_gh")).as("min_gram_fp"),
-        max(col("_gh")).as("max_gram_fp"))
+    val grams = when(cnt >= k,
+      transform(Dedup.wordNgrams(toks, cnt, k), g => hash(g)))
+      .otherwise(array(hash(col(textCol))))
     docs
       .withColumn("content_hash", hash(col(textCol)))
-      .join(fps, Seq(idCol), "left")
+      .withColumn("min_gram_fp", array_min(grams))
+      .withColumn("max_gram_fp", array_max(grams))
   }
 }

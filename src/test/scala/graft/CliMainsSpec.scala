@@ -89,6 +89,51 @@ class CliMainsSpec extends AnyFunSuite with SparkFixture {
     assert(blocks.select("record_index").distinct().count() == 2)
   }
 
+  test("garble→block positional identity: record_index i IS pii row i") {
+    import org.apache.spark.sql.functions._
+    // a many-partition pii source exercises the order-preservation chain:
+    // pii row order → single-file CLK write order → scan-position index
+    import spark.implicits._
+    val n = 500
+    val piiCsv = s"$base/posid/pii.csv"
+    write(piiCsv,
+      "record_id,given_name,family_name,DOB,sex,phone_number," +
+        "household_street_address,household_zip\n" +
+        (0 until n).map(i =>
+          s"p$i,G$i,FAM$i,2000-01-0${i % 9 + 1},F,555000$i,$i MAIN ST,0$i")
+          .mkString("\n") + "\n")
+    write(s"$base/posid/schemas/name.json",
+      """{"fields": ["given_name", "family_name"], "hashType": "blakeHash"}""")
+    write(s"$base/posid/secret.txt", "0123456789abcdef0123456789abcdef\n")
+    GarbleMain.run(spark, Map(
+      "input" -> piiCsv,
+      "schemadir" -> s"$base/posid/schemas",
+      "secretfile" -> s"$base/posid/secret.txt",
+      "output" -> s"$base/posid/garbled"))
+    BlockMain.run(spark, Map(
+      "clkpath" -> s"$base/posid/garbled",
+      "output" -> s"$base/posid/blockout"))
+    // independently recompute each record's expected block keys from the
+    // pii file directly (same secret/schema), keyed by row position
+    val secret = "0123456789abcdef0123456789abcdef"
+    val pii = Extract.readCsvAllStrings(spark, piiCsv)
+    val expected = Positions.withScanPosition(pii, "record_index")
+      .withColumn("conv_id", col("record_index"))
+    val expectedClks = Garble.clks(expected,
+      Garble.ClkSchema(Seq("given_name", "family_name"), "blakeHash"), secret)
+    val expectedKeys = Garble.lambdaBlocks(expectedClks)
+      .select(col("conv_id").cast("long").as("record_index"),
+        col("block_key"))
+    val got = spark.read.json(s"$base/posid/blockout/blocked/name")
+      .select(col("record_index"), col("block_key"))
+    assert(got.count() == n * 3)
+    val diff = got.exceptAll(expectedKeys).count() +
+      expectedKeys.exceptAll(got).count()
+    assert(diff == 0,
+      "blocked record_index diverged from pii row order — the positional " +
+        "identity a zip consumer resolves against")
+  }
+
   test("BlockMain refuses a sharded CLK table (positional identity guard)") {
     // a multi-part table read back would number records by split size,
     // not member order — BlockMain must fail loudly, not mis-map
