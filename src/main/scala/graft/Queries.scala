@@ -452,6 +452,25 @@ object Queries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN with a FIXED quantizer (centroids = the first 8 corpus
+    // vectors, no Lloyd) — the cross-engine-checkable IVF path: the
+    // DuckDB oracle recomputes assignment (argmin L2 with (d, index)
+    // tie-break, left-to-right summation matching VecOps), the
+    // top-2-probe set, exact cosine and ranking end-to-end. The trained
+    // path below stays rows-only (Lloyd means are engine-ordered FP sums).
+    "q_ann_ivf_fixed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.data.Ann.ivfTopKFixed(e, queries, k = 5, centroids, nProbe = 2)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF ANN top-k (seeded k-means coarse quantizer)
     "q_ann_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -578,6 +597,60 @@ object Queries {
 
   val oracle: Map[String, String] = Map(
     "q_ann_lsh_topk" -> lshOracle,
+
+    // Fixed-quantizer IVF: centroids are DATA rows (vec_id < 8), so the
+    // whole pipeline — L2 assignment with (d, index) tie-break, 2-probe
+    // set, cosine, ranking — is recomputable in SQL. Summation is
+    // left-to-right over the 64 dims on both engines (list_sum ↔
+    // VecOps), so distances and cosines are bit-identical.
+    "q_ann_ivf_fixed" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings WHERE vec_id < 8),
+         dists AS (
+           SELECT e.vec_id, c.cid,
+             list_sum([(CAST(e.embedding[j] AS DOUBLE) - c.vec[j]) *
+                       (CAST(e.embedding[j] AS DOUBLE) - c.vec[j])
+                       FOR j IN generate_series(1, 64)]) AS d
+           FROM embeddings e CROSS JOIN cent c),
+         assign AS (
+           SELECT vec_id, cid AS centroid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cid) AS rn
+             FROM dists) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid AS centroid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cid) AS rn
+             FROM dists WHERE vec_id < 5) WHERE rn <= 2),
+         cands AS (
+           SELECT p.query_id, a.vec_id
+           FROM probes p JOIN assign a ON a.centroid = p.centroid),
+         scored AS (
+           SELECT x.query_id, x.vec_id,
+             list_sum([CAST(e.embedding[j] AS DOUBLE) *
+                       CAST(q.embedding[j] AS DOUBLE)
+                       FOR j IN generate_series(1, 64)]) /
+             (sqrt(list_sum([CAST(e.embedding[j] AS DOUBLE) *
+                             CAST(e.embedding[j] AS DOUBLE)
+                             FOR j IN generate_series(1, 64)])) *
+              sqrt(list_sum([CAST(q.embedding[j] AS DOUBLE) *
+                             CAST(q.embedding[j] AS DOUBLE)
+                             FOR j IN generate_series(1, 64)]))) AS cos
+           FROM cands x
+           JOIN embeddings e ON e.vec_id = x.vec_id
+           JOIN embeddings q ON q.vec_id = x.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+       SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+              round(cos, 4) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_topn_counts" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          GROUP BY o_orderpriority HAVING count(*) >= 3

@@ -215,6 +215,23 @@ object Ann {
     probeCells(cells, centroids, queries, k, cfg.nProbe, idCol)
   }
 
+  /** IVF search against CALLER-SUPPLIED centroids — no Lloyd training.
+    * Two roles: (a) the serving pattern when the quantizer is trained
+    * offline and shipped with the job, and (b) the fully deterministic,
+    * cross-engine-checkable IVF path — with centroids taken from data
+    * rows, a DuckDB oracle recomputes assignment (argmin L2, (d, index)
+    * tie-break — bit-identical left-to-right summation), the top-nProbe
+    * probe set, exact cosine and ranking end-to-end (q_ann_ivf_fixed).
+    * The trained path (ivfTopK) stays rows-only: Lloyd MEANS are FP
+    * accumulations whose summation order differs across engines. */
+  def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+                   centroids: Array[Array[Double]], nProbe: Int,
+                   idCol: String = "vec_id"): DataFrame = {
+    val cells = assign(corpus, centroids)
+      .select(col("centroid"), col(idCol), col("embedding"))
+    probeCells(cells, centroids, queries, k, nProbe, idCol)
+  }
+
   /** Shared probe tail: join queries' probed centroids against the
     * cells, score, window top-k. The probe set is broadcast, so when
     * `cells` is a centroid-partitioned table on disk Spark's dynamic
