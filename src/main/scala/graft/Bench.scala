@@ -216,13 +216,16 @@ object Bench {
     val (stats, nTurns) = linkageBenchWarm(spark, nConvs)
     spark.stop()
 
-    // optional scaling runs: the scoring kernel at cpus and cpus/4,
-    // fresh JVM-local sessions, best-of-3 each (two parallelism levels
-    // stand in for two cluster sizes in this sandbox)
-    // Cap the scaling pair at local[4] vs local[16]: local[32] saturates a
-    // single socket's shared memory bandwidth (~21k pairs/s ceiling under
-    // every layout tried — BASELINE.md), which no multi-node 4N cluster
-    // shares; 4→16 measures the plan's scaling, not the socket's.
+    // optional scaling runs: the scoring kernel at cpus and cpus/4 in
+    // paired fresh JVM-local sessions (two parallelism levels stand in
+    // for two cluster sizes in this sandbox).
+    // Cap the scaling pair at local[4] vs local[16]: the 17th–32nd
+    // threads on this box are SMT siblings of the first 16 (shared
+    // execution ports) plus all-core clock effects — per-node residuals
+    // a 4N-node cluster comparison does not share; 4→16 stays on
+    // physical cores and measures the plan's scaling. (The earlier
+    // "~21k pairs/s bandwidth ceiling" rationale recorded here was a
+    // kernel-size artifact — see scalingConvs above.)
     val bigCpus = math.min(cpus, 16)
     val scalingJson = if (scaling && bigCpus >= 4) {
       // interleave sessions (small, big, small, big) and keep the best
@@ -250,8 +253,10 @@ object Bench {
       // of the ratio itself (selecting the MAX ratio would bias a noisy
       // statistic upward; the same rule linkageBenchWarm uses). All
       // measured round ratios are published alongside as the spread.
-      val nRounds =
-        sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt
+      // clamp ≥ 2: one round would publish the discarded-by-design JIT
+      // warmup (and 0 would crash minBy after the whole query bench ran)
+      val nRounds = math.max(2,
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "4").toInt)
       val rounds = (0 until nRounds).map { _ =>
         val small = kernelSession(bigCpus / 4)
         val (_, ts) = scoringKernelBench(small, scalingConvs, reps = 2)

@@ -181,7 +181,10 @@ object Ann {
       centroids = centroids.indices.map { c =>
         byC.get(c) match {
           case Some(rows) =>
-            val arr = new Array[Double](cfg.dims)
+            // width follows the DATA (init centroids are data rows), not
+            // cfg.dims — mixing them left an updated centroid at cfg.dims
+            // next to an empty cluster's data-width one
+            val arr = new Array[Double](centroids(c).length)
             rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
             arr
           case None => centroids(c) // empty cluster keeps its centroid
@@ -286,10 +289,14 @@ object Ann {
     writeSidecar(spark, s"$path/centroids.json", json)
     // config fingerprint: without it an appendToIvfIndex against an index
     // built with different dims/seed/quantizer assigns new vectors with
-    // the WRONG geometry and fails silently downstream
+    // the WRONG geometry and fails silently downstream. dims is the
+    // geometry actually persisted (centroid length — init centroids take
+    // the DATA's width, which cfg.dims need not match), so the stamp can
+    // never reject the index its own writer just produced.
+    val dims = centroids.headOption.map(_.length).getOrElse(sized.dims)
     writeSidecar(spark, s"$path/ivf_meta.json",
       s"""{"version":$IndexVersion,"nCentroids":${centroids.length},""" +
-        s""""dims":${sized.dims},"seed":${sized.seed}}""" + "\n")
+        s""""dims":$dims,"seed":${sized.seed}}""" + "\n")
   }
 
   /** Bumped whenever the cell layout or quantizer semantics change. */

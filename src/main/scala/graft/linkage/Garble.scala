@@ -98,10 +98,18 @@ object Garble {
     * to end. (The reference's own format is one JSON doc consumed by a
     * single-node agent, so one file IS the wire shape — scale the
     * linkage itself, not this export.) */
-  def writeClksJson(clksDf: DataFrame, path: String): Unit =
-    clksDf.select(base64(col("clk")).as("clks"))
-      .coalesce(1)
-      .write.mode("overwrite").json(path)
+  def writeClksJson(clksDf: DataFrame, path: String): Unit = {
+    // materialize the encode at FULL parallelism first — a bare
+    // coalesce(1) propagates up the lazy plan and would run the whole
+    // CLK hash (4.5× costlier on the blake2b path) on one core; the
+    // single-file write then just drains cached partitions in index
+    // order, preserving the source-row order
+    val b64 = clksDf.select(base64(col("clk")).as("clks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b64.count()
+    b64.coalesce(1).write.mode("overwrite").json(path)
+    b64.unpersist(blocking = false)
+  }
 
   /** λ-fold block keys (block.py:41–44 + lambda.json): (conv_id,
     * block_key) with Λ keys per record, exploded. */

@@ -74,8 +74,19 @@ object Pipeline {
         * persists exactly these during a run; callers release them when
         * done with the Result's DataFrames via [[unpersist]] — the round-2
         * API gave callers no handle and leaked them for the session. */
-      cached: Seq[DataFrame] = Nil) {
-    def unpersist(): Unit = cached.foreach(_.unpersist(false))
+      cached: Seq[DataFrame] = Nil,
+      /** The run-unique auto-bucketed records table, when the auto path
+        * wrote one. Dropped by [[unpersist]] — run-unique names never
+        * overwrite each other, so without the drop every auto-bucketed
+        * run would leak a full records copy into the warehouse.
+        * User-named bucketedRecords tables are caller-owned and never
+        * dropped here. */
+      autoBucketTable: Option[String] = None) {
+    def unpersist(): Unit = {
+      cached.foreach(_.unpersist(false))
+      autoBucketTable.foreach(t =>
+        records.sparkSession.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
   }
 
   /** PII record columns every stage downstream of fold actually consumes
@@ -100,21 +111,23 @@ object Pipeline {
     // cfg.bucketedRecords, or automatic once the corpus outgrows the
     // broadcast-friendly regime (the default 100-TB run must not lean on
     // broadcasting a corpus-proportional pairs relation).
-    val attrSide = cfg.bucketedRecords match {
+    val (attrSide, autoTable) = cfg.bucketedRecords match {
       case Some((table, buckets)) =>
         TableIO.writeBucketed(records.drop("turns"), table, "conv_id", buckets)
-        TableIO.readTable(spark, table)
+        (TableIO.readTable(spark, table), None)
       case None if nRecords >= cfg.autoBucketThreshold =>
         val buckets = math.min(4096,
           math.max(32, (nRecords / 250000L).toInt))
         // run-unique name: two concurrent runs sharing one warehouse must
-        // not clobber each other's auto table (the fixed name did)
+        // not clobber each other's auto table (the fixed name did); the
+        // Result carries the name so unpersist() drops it — run-unique
+        // tables never overwrite, so they must not outlive the run
         val table = "graft_records_auto_" +
           java.util.UUID.randomUUID().toString.replace("-", "").take(10)
         TableIO.writeBucketed(records.drop("turns"), table,
           "conv_id", buckets)
-        TableIO.readTable(spark, table)
-      case None => records
+        (TableIO.readTable(spark, table), Some(table))
+      case None => (records, None)
     }
 
     val passes = if (cfg.exactAddresses) Blocking.exactPasses else cfg.passes
@@ -145,7 +158,8 @@ object Pipeline {
     cfg.metricsPath.foreach(p => TableIO.write(metrics, p))
 
     Result(records, pairs, scored, matched, labeled, clustersDf, metrics,
-      cached = Seq(records) ++ scoredHandle ++ Seq(labels))
+      cached = Seq(records) ++ scoredHandle ++ Seq(labels),
+      autoBucketTable = autoTable)
   }
 
   /** --pairsfile loader (households.py:92–93): `.csv` is the reference's

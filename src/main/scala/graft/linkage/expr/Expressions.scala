@@ -160,6 +160,17 @@ object VecOps {
         if (!used(c2) && d(c2) < bestD) { bestD = d(c2); best = c2 }
         c2 += 1
       }
+      if (best < 0) {
+        // all remaining distances are NaN (NaN < x is false): take the
+        // lowest unused index — matching the array_sort(struct(d, i))
+        // form this kernel replaced, which ordered NaN last with an
+        // ascending index tie-break, instead of crashing on used(-1)
+        var c3 = 0
+        while (best < 0 && c3 < k) {
+          if (!used(c3)) best = c3
+          c3 += 1
+        }
+      }
       used(best) = true
       out(j) = best
       j += 1

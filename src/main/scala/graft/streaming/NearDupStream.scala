@@ -153,10 +153,14 @@ object NearDupStream {
       : DataFrame = {
     val spark = corpus.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // both fan out to several joins inside the one materializing action:
+    // without the persists the store scan + distinct re-runs four times
+    // and the corpus scan three (the measured minhash-fan-out lesson)
     val admittedIds = spark.read.parquet(storePath)
-      .select(col(idCol)).distinct()
-    val admitted = corpus.join(admittedIds, Seq(idCol), "left_semi")
-    val dropped = corpus.join(admittedIds, Seq(idCol), "left_anti")
+      .select(col(idCol)).distinct().persist(lvl)
+    val corpusP = corpus.persist(lvl)
+    val admitted = corpusP.join(admittedIds, Seq(idCol), "left_semi")
+    val dropped = corpusP.join(admittedIds, Seq(idCol), "left_anti")
 
     // exact near-dup pairs among admitted docs = duplicates that got in
     val admitPairs = Dedup.minHashNearDups(admitted, cfg, idCol, textCol)
@@ -166,7 +170,7 @@ object NearDupStream {
 
     // dropped docs vs admitted: LSH candidates + exact verify, then keep
     // docs whose best exact Jaccard never reaches the threshold
-    val exploded = Dedup.explodedShingles(corpus, idCol, textCol,
+    val exploded = Dedup.explodedShingles(corpusP, idCol, textCol,
       cfg.shingleSize).persist(lvl)
     val sigs = if (cfg.oph) Dedup.minHashSignaturesOPH(exploded, cfg, idCol)
                else Dedup.minHashSignatures(exploded, cfg, idCol)
@@ -196,6 +200,8 @@ object NearDupStream {
     admitPairs.unpersist(blocking = false)
     exploded.unpersist(blocking = false)
     buckets.unpersist(blocking = false)
+    admittedIds.unpersist(blocking = false)
+    corpusP.unpersist(blocking = false)
     out
   }
 }

@@ -142,6 +142,23 @@ class IvfIndexSpec extends AnyFunSuite with SparkFixture {
     assert(e3.getMessage.contains("ivf_meta"))
   }
 
+  test("probe kernel survives NaN embeddings (array_sort-parity order)") {
+    import spark.implicits._
+    // NaN distances make every `<` comparison false: the selection loop
+    // must fall back to lowest-unused-index (the NaN-last, index-ascending
+    // order of the sorted-struct form), not crash on used(-1)
+    val centroids = Array.tabulate(4, 8)((c, d) => if (d == c) 1.0 else 0.0)
+    val rows = Seq(
+      (1L, Array.fill(8)(Float.NaN)),            // all-NaN vector
+      (2L, Array.tabulate(8)(d => if (d == 2) 1.0f else 0.0f))) // clean
+      .toDF("vec_id", "embedding")
+    val got = rows.select(col("vec_id"),
+      Ann.nearestCentroids(col("embedding"), centroids, 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0, 1, 2), s"NaN fallback order: ${got(1L)}")
+    assert(got(2L).head == 2, s"clean row mis-assigned: ${got(2L)}")
+  }
+
   test("quantizer trains on a bounded deterministic sample") {
     import spark.implicits._
     // 3000 rows ≫ cap = 256·nCentroids = 512 at nCentroids = 2
