@@ -390,6 +390,31 @@ object Queries {
           .as("jaccard"))
     }),
 
+    // One-permutation MinHash (OPH) — the at-scale signature path (1
+    // hash/shingle instead of k=64) — value-oracled end-to-end on the
+    // planted family: the rotation-densified OPH bands must RECALL every
+    // planted pair (s ≥ 0.94; banding collision ≈ s^r per band as with
+    // standard signatures), and the verify stage computes the exact
+    // shingle Jaccard the oracle recomputes. Corpus restricted to the
+    // family (base docs + one garble generation) so the oracle'd query
+    // costs ~0.5 s, not another full-corpus minhash pass — full-corpus
+    // OPH recall stays covered by DataOpsSpec (500/500 planted).
+    "q_minhash_oph" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") < 50 &&
+          size(split(trim(col("text")), "\\s+")) >= 50)
+        .select(col("doc_id"), col("text"))
+      val g1 = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" PLANTEDMARKER")).as("text"))
+      graft.data.Dedup.minHashNearDups(base.unionByName(g1),
+        graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.5,
+          oph = true))
+        .filter(col("id_b") === col("id_a") + 100000)
+        .orderBy(col("id_a"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
+
     // Near-dup CLUSTERS (pair discovery + large-star/small-star CC +
     // singleton fill) — same recall-proof planted construction as
     // q_minhash, extended to CHAINS: base → base+" PLANTEDMARKER" →
@@ -934,6 +959,27 @@ object Queries {
          FROM embeddings ORDER BY vec_id""",
 
     "q_minhash_neardups" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 50 AND
+                         len(regexp_split_to_array(trim(text), '\s+')) >= 50),
+         pl AS (SELECT doc_id + 100000 AS doc_id,
+                  text || ' PLANTEDMARKER' AS text FROM base),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN generate_series(1, len(toks) - 2)]
+                  ELSE [trim(text)] END) AS s
+                FROM (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\s+') AS toks
+                      FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))),
+         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+               FROM sh a JOIN sh b
+                 ON b.doc_id = a.doc_id + 100000 AND a.doc_id < 50)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+         WHERE jac >= 0.5 ORDER BY id_a""",
+
+    "q_minhash_oph" ->
       """WITH base AS (SELECT doc_id, text FROM documents
                        WHERE doc_id < 50 AND
                          len(regexp_split_to_array(trim(text), '\s+')) >= 50),

@@ -205,3 +205,41 @@ object NearDupStream {
     out
   }
 }
+
+/** Batch reconcile CLI over a streaming near-dup signature store:
+  *
+  *   spark-submit --class graft.streaming.ReconcileMain <jar> \
+  *     --store <signature store parquet> --corpus <docs parquet> \
+  *     --output <dir> [--jaccard 0.7] [--no-oph]
+  *
+  * Runs [[NearDupStream.reconcileStore]] (exact-Jaccard verify of the
+  * stream's estimated admit/drop decisions), writes `<output>/diffs`
+  * (id_a, id_b, jaccard, kind) and prints the false-admit / false-drop
+  * counts. The minhash config MUST match the one the stream ran with. */
+object ReconcileMain {
+  import graft.linkage.Cli
+
+  def main(args: Array[String]): Unit = {
+    val spark = Cli.session("graft-reconcile")
+    run(spark, Cli.parse(args, flags = Set("no-oph")))
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): (Long, Long) = {
+    val out = Cli.required(opts, "output")
+    val cfg = Dedup.MinHashConfig(
+      jaccardThreshold = opts.getOrElse("jaccard", "0.7").toDouble,
+      oph = !opts.contains("no-oph"))
+    val corpus = spark.read.parquet(Cli.required(opts, "corpus"))
+    val diffs = NearDupStream.reconcileStore(
+      Cli.required(opts, "store"), corpus, cfg)
+    diffs.write.mode("overwrite").parquet(s"$out/diffs")
+    val counts = diffs.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    DatasetBridge.releaseCheckpoint(diffs)
+    val fa = counts.getOrElse("false_admit", 0L)
+    val fd = counts.getOrElse("false_drop", 0L)
+    println(s"[graft] reconcile: false_admits=$fa false_drops=$fd")
+    (fa, fd)
+  }
+}

@@ -123,5 +123,15 @@ class NearDupStreamSpec extends AnyFunSuite with SparkFixture {
     assert(falseDrops.head.getDouble(2) < cfg.jaccardThreshold)
     assert(!diffs.exists(_.getString(3) == "false_admit"))
     org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(rec)
+
+    // CLI wrapper over the same store
+    val cdir = s"$dir/reccorpus"
+    corpus.write.mode("overwrite").parquet(cdir)
+    val (fa, fd) = graft.streaming.ReconcileMain.run(spark, Map(
+      "store" -> store, "corpus" -> cdir, "output" -> s"$dir/recout",
+      "jaccard" -> cfg.jaccardThreshold.toString))
+    assert(fa == 0L && fd == 1L)
+    val persisted = spark.read.parquet(s"$dir/recout/diffs").collect()
+    assert(persisted.length == 1 && persisted.head.getString(3) == "false_drop")
   }
 }
