@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *                                conversation (bounds the fold buffer;
   *                                breaks per-turn equality for truncated
   *                                conversations by design)
+  *     [--previous <dir>]         daily-append mode: link --input against
+  *                                the records/matched_pairs of an earlier
+  *                                run's output dir (Pipeline.incremental —
+  *                                O(new × neighborhood), labels equal a
+  *                                full recompute)
   *     [--householddef <csv>]     household definitions file: skip
   *                                inference, CLK-encode the given
   *                                households (households.py -d)
@@ -76,9 +81,6 @@ object LinkageMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val opts = parseArgs(args)
-    val out = opts.getOrElse("output",
-      throw new IllegalArgumentException("--output required"))
     val builder = SparkSession.builder()
       .appName("graft-linkage")
       .config("spark.sql.session.timeZone", "UTC")
@@ -87,11 +89,17 @@ object LinkageMain {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, parseArgs(args))
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val out = opts.getOrElse("output",
+      throw new IllegalArgumentException("--output required"))
 
     opts.get("householddef").foreach { defPath =>
       val n = householdDefFlow(spark, defPath, out, opts.get("secret"))
       println(s"[graft] household definitions encoded: households=$n")
-      spark.stop()
       return
     }
 
@@ -114,7 +122,18 @@ object LinkageMain {
       bucketedRecords = opts.get("buckets")
         .map(n => ("graft_records_bucketed", n.toInt)),
       maxTurns = opts.get("max-turns").map(_.toInt).getOrElse(0))
-    val result = Pipeline.run(spark, transcripts, cfg)
+    // --previous <outdir of an earlier run>: daily-append mode. Fold and
+    // score ONLY the new transcripts, candidates restricted to pairs
+    // touching a new record, CC over previous ∪ new matches — labels
+    // provably equal a full recompute (IncrementalSpec); the increment
+    // costs O(new × blocked-neighborhood), not O(corpus²).
+    val result = opts.get("previous") match {
+      case Some(prev) =>
+        val prevRecords = TableIO.read(spark, s"$prev/records")
+        val prevMatches = TableIO.read(spark, s"$prev/matched_pairs")
+        Pipeline.incremental(spark, prevRecords, prevMatches, transcripts, cfg)
+      case None => Pipeline.run(spark, transcripts, cfg)
+    }
 
     TableIO.write(result.records.drop("turns"), s"$out/records")
     TableIO.write(result.matchedPairs, s"$out/matched_pairs")
@@ -143,6 +162,5 @@ object LinkageMain {
       s"${result.metrics.collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
         .mkString(", ")}")
     result.unpersist() // release the run's internal cache handles
-    spark.stop()
   }
 }

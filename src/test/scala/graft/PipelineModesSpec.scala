@@ -119,6 +119,33 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
     assert(meta("number_of_households") == "2")
   }
 
+  test("LinkageMain --previous: daily-append CLI equals a full recompute") {
+    val base = java.nio.file.Files.createTempDirectory("lmprev").toString
+    val synthCfg = SynthTranscripts.Config(seed = 7L, nConvs = 300)
+    val all = SynthTranscripts.transcripts(spark, synthCfg).toDF.cache()
+    // split so garbles and their seeds often land in DIFFERENT batches
+    // (cross-boundary matches must still be found by the increment)
+    val seedId = regexp_extract(col("conv_id"), "^(c\\d+)", 1)
+    val inT2 = pmod(xxhash64(seedId), lit(3)) === 0
+    val t1 = all.filter(!inT2 || col("conv_id").contains("~"))
+    val t2 = all.filter(inT2 && !col("conv_id").contains("~"))
+    t1.write.mode("overwrite").parquet(s"$base/t1")
+    t2.write.mode("overwrite").parquet(s"$base/t2")
+    LinkageMain.run(spark, Map(
+      "input" -> s"$base/t1", "output" -> s"$base/runA"))
+    LinkageMain.run(spark, Map(
+      "input" -> s"$base/t2", "previous" -> s"$base/runA",
+      "output" -> s"$base/runAB"))
+    val full = Pipeline.run(spark, all)
+    val ca = full.clusters.select(col("cluster_id"), col("members"))
+    val cb = TableIO.read(spark, s"$base/runAB/clusters")
+      .select(col("cluster_id"), col("members"))
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+      s"full=${ca.count()} incremental-CLI=${cb.count()}")
+    full.unpersist()
+    all.unpersist()
+  }
+
   test("max-turns bounds a runaway mega-conversation's fold") {
     import spark.implicits._
     // one synthetic agent loop at 50k turns next to normal conversations:
