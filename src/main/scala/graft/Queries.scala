@@ -620,6 +620,31 @@ object Queries {
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Exact shingle-Jaccard of the planted (base, base+" PLANTEDMARKER")
+    * pairs — the expected output of BOTH minhash queries (standard k=64
+    * over the full corpus, and OPH over the family): same pairs, same
+    * exact verify values, one oracle definition. */
+  private val plantedPairsOracle: String =
+    """WITH base AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id < 50 AND
+                       len(regexp_split_to_array(trim(text), '\s+')) >= 50),
+       pl AS (SELECT doc_id + 100000 AS doc_id,
+                text || ' PLANTEDMARKER' AS text FROM base),
+       sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                THEN [array_to_string(toks[i:i+2], ' ')
+                      FOR i IN generate_series(1, len(toks) - 2)]
+                ELSE [trim(text)] END) AS s
+              FROM (SELECT doc_id, text,
+                      regexp_split_to_array(trim(text), '\s+') AS toks
+                    FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))),
+       j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+             FROM sh a JOIN sh b
+               ON b.doc_id = a.doc_id + 100000 AND a.doc_id < 50)
+       SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+       WHERE jac >= 0.5 ORDER BY id_a"""
+
   val oracle: Map[String, String] = Map(
     "q_ann_lsh_topk" -> lshOracle,
 
@@ -958,47 +983,13 @@ object Queries {
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2
          FROM embeddings ORDER BY vec_id""",
 
-    "q_minhash_neardups" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-                       WHERE doc_id < 50 AND
-                         len(regexp_split_to_array(trim(text), '\s+')) >= 50),
-         pl AS (SELECT doc_id + 100000 AS doc_id,
-                  text || ' PLANTEDMARKER' AS text FROM base),
-         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                  THEN [array_to_string(toks[i:i+2], ' ')
-                        FOR i IN generate_series(1, len(toks) - 2)]
-                  ELSE [trim(text)] END) AS s
-                FROM (SELECT doc_id, text,
-                        regexp_split_to_array(trim(text), '\s+') AS toks
-                      FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))),
-         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-               FROM sh a JOIN sh b
-                 ON b.doc_id = a.doc_id + 100000 AND a.doc_id < 50)
-         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
-         WHERE jac >= 0.5 ORDER BY id_a""",
+    "q_minhash_neardups" -> plantedPairsOracle,
 
-    "q_minhash_oph" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-                       WHERE doc_id < 50 AND
-                         len(regexp_split_to_array(trim(text), '\s+')) >= 50),
-         pl AS (SELECT doc_id + 100000 AS doc_id,
-                  text || ' PLANTEDMARKER' AS text FROM base),
-         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                  THEN [array_to_string(toks[i:i+2], ' ')
-                        FOR i IN generate_series(1, len(toks) - 2)]
-                  ELSE [trim(text)] END) AS s
-                FROM (SELECT doc_id, text,
-                        regexp_split_to_array(trim(text), '\s+') AS toks
-                      FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))),
-         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-               FROM sh a JOIN sh b
-                 ON b.doc_id = a.doc_id + 100000 AND a.doc_id < 50)
-         SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
-         WHERE jac >= 0.5 ORDER BY id_a""",
+    // identical expected output to q_minhash_neardups BY DESIGN: both
+    // queries must surface the planted pairs with their exact Jaccard —
+    // one via standard k=64 signatures over the full corpus, one via OPH
+    // over the family — so they share one oracle definition
+    "q_minhash_oph" -> plantedPairsOracle,
 
     "q_neardup_clusters" ->
       """WITH RECURSIVE

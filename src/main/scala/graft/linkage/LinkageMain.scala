@@ -41,21 +41,8 @@ import org.apache.spark.sql.functions._
   */
 object LinkageMain {
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
-    val m = scala.collection.mutable.Map[String, String]()
-    var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "--exact-addresses" | "--testrun" =>
-          m(args(i).drop(2)) = "true"; i += 1
-        case flag if flag.startsWith("--") && i + 1 < args.length =>
-          m(flag.drop(2)) = args(i + 1); i += 2
-        case other =>
-          throw new IllegalArgumentException(s"unexpected arg: $other")
-      }
-    }
-    m.toMap
-  }
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    Cli.parse(args, flags = Set("exact-addresses", "testrun"))
 
   /** --householddef (households.py:39–44, 322–323, 404–407): the user
     * supplies household definitions (HOUSEHOLD_PII_HEADERS csv:
@@ -81,6 +68,9 @@ object LinkageMain {
   }
 
   def main(args: Array[String]): Unit = {
+    // parse BEFORE building the session: a bad argv must fail without
+    // spinning up (and then leaking) a cluster session
+    val opts = parseArgs(args)
     val builder = SparkSession.builder()
       .appName("graft-linkage")
       .config("spark.sql.session.timeZone", "UTC")
@@ -89,8 +79,8 @@ object LinkageMain {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, parseArgs(args))
-    spark.stop()
+    try run(spark, opts)
+    finally spark.stop()
   }
 
   def run(spark: SparkSession, opts: Map[String, String]): Unit = {
@@ -129,6 +119,19 @@ object LinkageMain {
     // costs O(new × blocked-neighborhood), not O(corpus²).
     val result = opts.get("previous") match {
       case Some(prev) =>
+        // the result's records/matched_pairs plans READ prev's tables;
+        // writing them back to the same dir would overwrite a path being
+        // read from (the self-overwrite class CLAUDE.md documents) —
+        // daily appends alternate output dirs (or snapshot generations)
+        val canon = (p: String) => new java.io.File(p).getCanonicalPath
+        require(canon(prev) != canon(out),
+          s"--output must differ from --previous ($prev): the incremental " +
+            "result reads the previous tables lazily and overwriting them " +
+            "mid-read corrupts the cumulative store")
+        require(!opts.contains("pairsfile") && !opts.contains("buckets"),
+          "--pairsfile/--buckets are not supported with --previous " +
+            "(the incremental path neither bypasses scoring nor buckets " +
+            "the attribute side)")
         val prevRecords = TableIO.read(spark, s"$prev/records")
         val prevMatches = TableIO.read(spark, s"$prev/matched_pairs")
         Pipeline.incremental(spark, prevRecords, prevMatches, transcripts, cfg)

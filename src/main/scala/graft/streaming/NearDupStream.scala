@@ -210,25 +210,33 @@ object NearDupStream {
   *
   *   spark-submit --class graft.streaming.ReconcileMain <jar> \
   *     --store <signature store parquet> --corpus <docs parquet> \
-  *     --output <dir> [--jaccard 0.7] [--no-oph]
+  *     --output <dir> [--jaccard 0.7] [--num-hashes 64] [--bands 16]
+  *     [--shingle-size 3] [--seed 42] [--no-oph]
   *
   * Runs [[NearDupStream.reconcileStore]] (exact-Jaccard verify of the
   * stream's estimated admit/drop decisions), writes `<output>/diffs`
   * (id_a, id_b, jaccard, kind) and prints the false-admit / false-drop
-  * counts. The minhash config MUST match the one the stream ran with. */
+  * counts. The minhash config MUST match the one the stream ran with —
+  * every MinHashConfig knob is exposed so a non-default stream can be
+  * reconciled (mismatched bands/shingles would silently compute the
+  * wrong candidate set and Jaccard domain). */
 object ReconcileMain {
   import graft.linkage.Cli
 
   def main(args: Array[String]): Unit = {
     val spark = Cli.session("graft-reconcile")
-    run(spark, Cli.parse(args, flags = Set("no-oph")))
-    spark.stop()
+    try run(spark, Cli.parse(args, flags = Set("no-oph")))
+    finally spark.stop()
   }
 
   def run(spark: SparkSession, opts: Map[String, String]): (Long, Long) = {
     val out = Cli.required(opts, "output")
     val cfg = Dedup.MinHashConfig(
+      numHashes = opts.getOrElse("num-hashes", "64").toInt,
+      bands = opts.getOrElse("bands", "16").toInt,
+      shingleSize = opts.getOrElse("shingle-size", "3").toInt,
       jaccardThreshold = opts.getOrElse("jaccard", "0.7").toDouble,
+      seed = opts.getOrElse("seed", "42").toLong,
       oph = !opts.contains("no-oph"))
     val corpus = spark.read.parquet(Cli.required(opts, "corpus"))
     val diffs = NearDupStream.reconcileStore(

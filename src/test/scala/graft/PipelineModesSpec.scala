@@ -144,6 +144,12 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
       s"full=${ca.count()} incremental-CLI=${cb.count()}")
     full.unpersist()
     all.unpersist()
+    // in-place append is the self-overwrite hazard class — refused
+    val e = intercept[IllegalArgumentException] {
+      LinkageMain.run(spark, Map("input" -> s"$base/t2",
+        "previous" -> s"$base/runA", "output" -> s"$base/runA"))
+    }
+    assert(e.getMessage.contains("differ"))
   }
 
   test("max-turns bounds a runaway mega-conversation's fold") {
