@@ -50,12 +50,42 @@ object LinkageStream {
 
   /** One micro-batch step (what the sink invokes; exposed for
     * deterministic testing and for driving the store in batch jobs).
-    * Returns false when the batch was a skipped replay or empty. */
+    * Returns false when the batch was a skipped replay or empty.
+    *
+    * Every batch rewrites the cumulative tables in full — a deliberate
+    * trade: the generation flip gives ATOMIC snapshot semantics (readers
+    * always see one consistent {records, matched_pairs, clusters} set),
+    * at O(corpus) write per trigger. records/matched_pairs are
+    * append-only in content, so a delta-log layout (append-only record/
+    * match logs + generational clusters) halves the steady-state I/O —
+    * the right evolution once trigger latency matters more than the
+    * single-pointer simplicity; clusters genuinely need the rewrite
+    * either way (labels can change on every batch). */
   def linkBatch(batch: DataFrame, batchId: Long, storeDir: String,
                 cfg: Pipeline.Config = Pipeline.Config()): Boolean = {
+    // the sink runs Pipeline.run for the FIRST batch and incremental for
+    // the rest — modes that only exist on the full-run path would make
+    // matching semantics depend on arrival batch (exactAddresses'
+    // no-scoring contract, pairsFile bypass, bucketed attr side), so
+    // refuse them rather than silently diverge
+    require(!cfg.exactAddresses && cfg.pairsFile.isEmpty &&
+      cfg.bucketedRecords.isEmpty,
+      "exactAddresses/pairsFile/bucketedRecords are full-run-only modes " +
+        "the incremental path does not honor — unsupported in the " +
+        "continuous sink")
     val spark = batch.sparkSession
     val st = readState(spark, storeDir)
-    if (st.exists(_.batch >= batchId)) return false // committed replay
+    st.foreach { s =>
+      if (batchId == s.batch) return false // in-flight replay, committed
+      // ids below the committed pointer mean the stream's CHECKPOINT was
+      // reset against a kept store: skipping would silently discard
+      // every batch until ids catch up — fail loudly instead
+      require(batchId > s.batch,
+        s"batch id $batchId is behind the store's committed ${s.batch} " +
+          s"($storeDir): streaming checkpoint was reset against an " +
+          "existing store — resume with the original checkpoint dir or " +
+          "point the sink at a fresh store")
+    }
     if (batch.isEmpty) return false // nothing to link, nothing to commit
     val (result, nextGen) = st match {
       case None => (Pipeline.run(spark, batch, cfg), 0)
@@ -67,7 +97,12 @@ object LinkageStream {
           1 - s.gen)
     }
     val dst = s"$storeDir/g$nextGen"
-    TableIO.write(result.records.drop("turns"), s"$dst/records")
+    // project BOTH paths to the common piiCols schema: the full-run
+    // first batch otherwise writes Fold's wider shape (ts_min/ts_max)
+    // and the store's records schema would flip after the second batch
+    TableIO.write(result.records
+      .select(Pipeline.piiCols.map(org.apache.spark.sql.functions.col): _*),
+      s"$dst/records")
     TableIO.write(result.matchedPairs, s"$dst/matched_pairs")
     TableIO.write(result.clusters, s"$dst/clusters")
     result.unpersist()
@@ -95,14 +130,27 @@ object LinkageStream {
                                storeDir: String): Option[StoreState] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/_state.json")
+    // if only the tmp pointer exists, a crash hit the delete→rename
+    // window: tmp was fully written+closed before the delete, so it IS
+    // the committed state — without this fallback the next batch would
+    // see "no store" and restart from scratch over live generations
+    val main = new org.apache.hadoop.fs.Path(s"$storeDir/_state.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/_state.json.tmp")
+    val p = if (fs.exists(main)) main
+            else if (fs.exists(tmp)) tmp
+            else main
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val txt = scala.io.Source.fromInputStream(in).mkString
       in.close()
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      Some(StoreState(node.path("gen").asInt(), node.path("batch").asLong()))
+      // fail LOUDLY on a malformed pointer: path(..).asInt() defaults of
+      // a partial file would silently point reads at the wrong
+      // generation and re-admit committed batches
+      require(node.has("gen") && node.has("batch"),
+        s"corrupt linkage-store pointer $p: '$txt'")
+      Some(StoreState(node.get("gen").asInt(), node.get("batch").asLong()))
     }
   }
 
@@ -110,9 +158,16 @@ object LinkageStream {
                          st: StoreState): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$storeDir/_state.json"), true)
+    // temp + rename: fs.create(overwrite) truncates in place, so a crash
+    // mid-write would leave an empty/partial pointer and brick the store
+    // even though both generations' data is intact; rename is atomic on
+    // HDFS and the local FS
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/_state.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$storeDir/_state.json")
+    val out = fs.create(tmp, true)
     out.write(s"""{"gen":${st.gen},"batch":${st.batch}}""".getBytes("UTF-8"))
     out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"pointer rename failed: $tmp -> $dst")
   }
 }

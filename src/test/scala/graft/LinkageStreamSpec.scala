@@ -21,13 +21,17 @@ class LinkageStreamSpec extends AnyFunSuite with SparkFixture {
 
     val cfg = SynthTranscripts.Config(seed = 7L, nConvs = 250)
     val all = SynthTranscripts.transcripts(spark, cfg).cache()
-    // split by seed-conversation so garbles often cross the batch
-    // boundary (the increment must still find cross-batch matches)
+    // THREE batches split by seed-conversation so garbles often cross
+    // batch boundaries (cross-batch matches required) — and so the store
+    // walks g0 → g1 → back over g0: the third batch re-overwrites a
+    // generation this session already wrote AND read, the in-session
+    // overwrite class FileStatusCache staleness bites on
     val seedId = regexp_extract(col("conv_id"), "^(c\\d+)", 1)
-    val inB2 = pmod(xxhash64(seedId), lit(3)) === 0
-    val t1 = all.filter(!inB2 || col("conv_id").contains("~")).collect()
-    val t2 = all.filter(inB2 && !col("conv_id").contains("~")).collect()
-    assert(t2.nonEmpty)
+    val bucket = pmod(xxhash64(seedId), lit(3))
+    val t1 = all.filter(bucket === 0 || col("conv_id").contains("~")).collect()
+    val t2 = all.filter(bucket === 1 && !col("conv_id").contains("~")).collect()
+    val t3 = all.filter(bucket === 2 && !col("conv_id").contains("~")).collect()
+    assert(t2.nonEmpty && t3.nonEmpty)
 
     val input = MemoryStream[Turn]
     val q = LinkageStream.linkageSink(input.toDF(), s"$dir/store",
@@ -37,7 +41,11 @@ class LinkageStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       input.addData(t2.toSeq)
       q.processAllAvailable()
+      input.addData(t3.toSeq)
+      q.processAllAvailable()
     } finally q.stop()
+    // three non-empty batches → pointer at g0 again (0 → 1 → 0)
+    assert(LinkageStream.readState(spark, s"$dir/store").get.gen == 0)
 
     val full = Pipeline.run(spark, all.toDF)
     val ca = full.clusters.select(col("cluster_id"), col("members"))
@@ -47,17 +55,34 @@ class LinkageStreamSpec extends AnyFunSuite with SparkFixture {
       s"full=${ca.count()} streamed=${cb.count()}")
     full.unpersist()
 
-    // replay safety: re-linking an already-committed batch id is a no-op
+    // the records schema is the common piiCols shape from the FIRST
+    // generation on (no wider-then-narrower flip as the store ages)
+    assert(LinkageStream.currentRecords(spark, s"$dir/store")
+      .columns.toSeq == Pipeline.piiCols)
+
+    // replay safety: re-linking the in-flight (committed) batch id is a
+    // no-op; an id BEHIND the pointer means a reset checkpoint against a
+    // kept store — refused loudly instead of silently dropping batches
     val st0 = LinkageStream.readState(spark, s"$dir/store").get
     val replayed = LinkageStream.linkBatch(
       all.toDF.limit(10), st0.batch, s"$dir/store")
     assert(!replayed, "committed batch id must be skipped")
     assert(LinkageStream.readState(spark, s"$dir/store").get == st0,
       "replay must not move the store pointer")
-    // and an empty batch commits nothing
+    val e = intercept[IllegalArgumentException] {
+      LinkageStream.linkBatch(all.toDF.limit(10), st0.batch - 1, s"$dir/store")
+    }
+    assert(e.getMessage.contains("checkpoint"))
+    // an empty batch commits nothing
     assert(!LinkageStream.linkBatch(
       all.toDF.limit(0), st0.batch + 100, s"$dir/store"))
     assert(LinkageStream.readState(spark, s"$dir/store").get == st0)
+    // full-run-only modes are refused up front (they would make matching
+    // semantics depend on arrival batch)
+    intercept[IllegalArgumentException] {
+      LinkageStream.linkBatch(all.toDF.limit(10), st0.batch + 101,
+        s"$dir/store", Pipeline.Config(exactAddresses = true))
+    }
     all.unpersist()
   }
 }
