@@ -37,16 +37,23 @@ object LinkageStream {
   case class StoreState(gen: Int, batch: Long)
 
   /** Start the sink. `turns` is a streaming DataFrame of transcript
-    * turns (conv_id, turn_idx, role, text, tool, ts). */
+    * turns (conv_id, turn_idx, role, text, tool, ts). `once = true`
+    * processes everything currently available and stops
+    * (Trigger.AvailableNow — the scheduled-job deployment shape: each
+    * invocation links whatever arrived since the last, then exits). */
   def linkageSink(turns: DataFrame, storeDir: String, checkpointDir: String,
-                  cfg: Pipeline.Config = Pipeline.Config()): StreamingQuery =
-    turns.writeStream
+                  cfg: Pipeline.Config = Pipeline.Config(),
+                  once: Boolean = false): StreamingQuery = {
+    val writer = turns.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         linkBatch(batch, id, storeDir, cfg)
         ()
       }
-      .start()
+    (if (once)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer).start()
+  }
 
   /** One micro-batch step (what the sink invokes; exposed for
     * deterministic testing and for driving the store in batch jobs).
@@ -154,8 +161,8 @@ object LinkageStream {
     }
   }
 
-  private def writeState(spark: SparkSession, storeDir: String,
-                         st: StoreState): Unit = {
+  private[graft] def writeState(spark: SparkSession, storeDir: String,
+                                st: StoreState): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
     // temp + rename: fs.create(overwrite) truncates in place, so a crash
@@ -169,5 +176,39 @@ object LinkageStream {
     out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"pointer rename failed: $tmp -> $dst")
+  }
+}
+
+/** spark-submit surface for the continuous-linkage sink:
+  *
+  *   spark-submit --class graft.streaming.LinkageStreamMain <jar> \
+  *     --source <dir of incoming transcript parquet files> \
+  *     --store <linkage store dir> --checkpoint <dir> [--once]
+  *
+  * The file source picks up parquet files of transcript turns as they
+  * land under --source. `--once` processes everything currently
+  * available and exits (Trigger.AvailableNow) — the cron/Airflow
+  * deployment shape: each invocation links the files that arrived since
+  * the previous one, resuming from the same checkpoint; without it the
+  * query runs until killed. Same conversation-wholeness contract as
+  * [[LinkageStream.linkageSink]]. */
+object LinkageStreamMain {
+  import graft.linkage.Cli
+
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parse(args, flags = Set("once"))
+    val spark = Cli.session("graft-linkage-stream")
+    try run(spark, opts)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val turns = spark.readStream
+      .schema(graft.linkage.Schemas.transcripts)
+      .parquet(Cli.required(opts, "source"))
+    val q = LinkageStream.linkageSink(turns,
+      Cli.required(opts, "store"), Cli.required(opts, "checkpoint"),
+      once = opts.contains("once"))
+    q.awaitTermination()
   }
 }

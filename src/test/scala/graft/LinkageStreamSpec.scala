@@ -85,4 +85,40 @@ class LinkageStreamSpec extends AnyFunSuite with SparkFixture {
     }
     all.unpersist()
   }
+
+  test("LinkageStreamMain --once: scheduled-job shape over a file source") {
+    import spark.implicits._
+    val cfg = SynthTranscripts.Config(seed = 13L, nConvs = 120)
+    val all = SynthTranscripts.transcripts(spark, cfg).toDF.cache()
+    val seedId = regexp_extract(col("conv_id"), "^(c\\d+)", 1)
+    val inB2 = pmod(xxhash64(seedId), lit(2)) === 0
+    val t1 = all.filter(!inB2 || col("conv_id").contains("~"))
+    val t2 = all.filter(inB2 && !col("conv_id").contains("~"))
+
+    // drop 1: only t1 has landed; the main processes it and EXITS
+    t1.write.mode("overwrite").parquet(s"$dir/src/drop1")
+    graft.streaming.LinkageStreamMain.run(spark, Map(
+      "source" -> s"$dir/src/*", "store" -> s"$dir/cli_store",
+      "checkpoint" -> s"$dir/cli_ckpt", "once" -> "true"))
+    val n1 = graft.streaming.LinkageStream
+      .currentRecords(spark, s"$dir/cli_store").count()
+    assert(n1 > 0)
+
+    // drop 2: more files land; a SECOND invocation resumes from the
+    // same checkpoint and links only the new conversations
+    t2.write.mode("overwrite").parquet(s"$dir/src/drop2")
+    graft.streaming.LinkageStreamMain.run(spark, Map(
+      "source" -> s"$dir/src/*", "store" -> s"$dir/cli_store",
+      "checkpoint" -> s"$dir/cli_ckpt", "once" -> "true"))
+
+    val full = Pipeline.run(spark, all)
+    val ca = full.clusters.select(col("cluster_id"), col("members"))
+    val cb = graft.streaming.LinkageStream
+      .currentClusters(spark, s"$dir/cli_store")
+      .select(col("cluster_id"), col("members"))
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+      s"full=${ca.count()} scheduled-CLI=${cb.count()}")
+    full.unpersist()
+    all.unpersist()
+  }
 }
