@@ -184,6 +184,7 @@ object LinkageStream {
   *   spark-submit --class graft.streaming.LinkageStreamMain <jar> \
   *     --source <dir of incoming transcript parquet files> \
   *     --store <linkage store dir> --checkpoint <dir> [--once]
+  *     [--max-turns <n>]
   *
   * The file source picks up parquet files of transcript turns as they
   * land under --source. `--once` processes everything currently
@@ -206,9 +207,14 @@ object LinkageStreamMain {
     val turns = spark.readStream
       .schema(graft.linkage.Schemas.transcripts)
       .parquet(Cli.required(opts, "source"))
+    // the runaway-conversation fold guard matters MOST on a long-running
+    // stream — one looping agent conversation in a drop would otherwise
+    // blow the fold's aggregation buffer on every retry of its batch
+    val cfg = Pipeline.Config(
+      maxTurns = opts.get("max-turns").map(_.toInt).getOrElse(0))
     val q = LinkageStream.linkageSink(turns,
       Cli.required(opts, "store"), Cli.required(opts, "checkpoint"),
-      once = opts.contains("once"))
+      cfg, once = opts.contains("once"))
     q.awaitTermination()
   }
 }
