@@ -100,7 +100,45 @@ object Dedup {
       seed: Long = 42L,
       /** one-permutation hashing: 1 hash/shingle instead of numHashes —
         * the at-scale signature path (see minHashSignaturesOPH) */
-      oph: Boolean = false)
+      oph: Boolean = false,
+      /** Oversized-bucket guard on the band join (the linkage engine's
+        * Candidates 2% discipline, inherited): a (band, bucket) holding
+        * more than max(minBucketCap, capRatio·|docs|) rows is DROPPED
+        * from candidate generation — a degenerate hot bucket (millions
+        * of near-empty docs collapsing to one signature slice) otherwise
+        * makes one join partition quadratic. The trade is RECALL: pairs
+        * living only in a capped bucket are never verified, so every
+        * drop is logged loudly (never silent). capRatio >= 1.0 disables
+        * the cap (reconcile audits run uncapped by design). */
+      capRatio: Double = 0.02,
+      minBucketCap: Long = 50) {
+    /** Effective bucket cap for a corpus of n docs; Long.MaxValue = off. */
+    def bucketCap(n: Long): Long =
+      if (capRatio >= 1.0) Long.MaxValue
+      else math.max(minBucketCap, (capRatio * n).toLong)
+  }
+
+  /** Drop (band, bucket) groups holding more than `cap` rows from a
+    * bucket relation, logging the dropped bucket/row counts (a capped
+    * bucket is lost RECALL — never drop silently). `buckets` must be
+    * persisted by the caller: it feeds the stats job AND the kept-side
+    * semi-join. The counts side is tiny, so AQE broadcasts it back. */
+  private[graft] def capBuckets(buckets: DataFrame, cap: Long,
+                                tag: String): DataFrame = {
+    if (cap == Long.MaxValue) return buckets
+    val counts = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val over = counts.filter(col("n") > cap)
+      .agg(count(lit(1)).as("b"), coalesce(sum(col("n")), lit(0L)).as("r"))
+      .collect().head
+    if (over.getLong(0) > 0)
+      println(s"[graft] $tag: dropped ${over.getLong(0)} hot bucket(s) " +
+        s"holding ${over.getLong(1)} rows over cap=$cap — bounded join " +
+        "partitions traded for recall in those buckets " +
+        "(MinHashConfig.capRatio/minBucketCap)")
+    buckets.join(counts.filter(col("n") <= cap).select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi")
+  }
 
   /** MinHash signatures: (id, sig: array<long> of numHashes mins) from
     * the exploded (id, shingle) relation. hash_i(shingle) =
@@ -245,18 +283,31 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
       .persist(lvl)
-    val sigs = if (cfg.oph) minHashSignaturesOPH(exploded, cfg, idCol)
-               else minHashSignatures(exploded, cfg, idCol)
-    val cands = lshCandidates(lshBuckets(sigs, cfg, idCol), idCol)
+    val cap = cfg.bucketCap(docs.count())
+    val rawBuckets = lshBuckets(sigs(exploded, cfg, idCol), cfg, idCol)
+    // persist only when the cap is live: capBuckets consumes the bucket
+    // relation twice (stats job + kept-side semi-join) and an unpersisted
+    // second pass would recompute the whole signature aggregation
+    val buckets = if (cap == Long.MaxValue) rawBuckets
+                  else rawBuckets.persist(lvl)
+    val cands = lshCandidates(capBuckets(buckets, cap, "minhash-lsh"), idCol)
       .persist(lvl)
     val out = jaccardVerify(exploded, cands, idCol)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .persist(lvl)
     out.count() // materialize via the cached fan-out points
     exploded.unpersist(blocking = false)
+    if (cap != Long.MaxValue) buckets.unpersist(blocking = false)
     cands.unpersist(blocking = false)
     out
   }
+
+  /** Signature dispatcher (OPH vs standard) over an exploded shingle
+    * relation. */
+  private[graft] def sigs(exploded: DataFrame, cfg: MinHashConfig,
+                          idCol: String): DataFrame =
+    if (cfg.oph) minHashSignaturesOPH(exploded, cfg, idCol)
+    else minHashSignatures(exploded, cfg, idCol)
 
   /** Near-duplicate GROUPS: the linkage engine's large-star/small-star
     * connected components run over the verified near-dup pairs, plus
@@ -335,9 +386,21 @@ object Dedup {
     * beyond. The bit_count(xor) verify kills band-collision false
     * positives. Scale note: wider distances mean narrower buckets
     * (64/(d+1) bits) and more candidate collisions — at web scale keep
-    * maxDistance ≤ 3 (16-bit buckets) or pre-partition by a coarse key. */
+    * maxDistance ≤ 3 (16-bit buckets) or pre-partition by a coarse key.
+    *
+    * Hot-bucket guard (the Candidates 2% discipline, inherited): a
+    * (band, bucket) holding more than max(minBucketCap, capRatio·|sigs|)
+    * rows is DROPPED from the banded join — a degenerate corpus
+    * (millions of near-empty docs collapsing to simhash 0) otherwise
+    * makes one join partition quadratic. Dropped buckets cost recall in
+    * exactly those buckets and are logged loudly; capRatio >= 1.0
+    * disables the guard, restoring pigeonhole-exact recall. An
+    * identical-document flood is the textbook trigger — run [[exact]]
+    * dedup FIRST so only genuine near-dups reach this stage. */
   def simHashNearDups(sigs: DataFrame, maxDistance: Int = 3,
-                      idCol: String = "doc_id", bands: Int = 0): DataFrame = {
+                      idCol: String = "doc_id", bands: Int = 0,
+                      capRatio: Double = 0.02,
+                      minBucketCap: Long = 50): DataFrame = {
     val nBands = if (bands > 0) bands else maxDistance + 1
     require(nBands > maxDistance,
       s"pigeonhole exactness needs bands ($nBands) > maxDistance ($maxDistance)")
@@ -350,19 +413,36 @@ object Dedup {
     val bandBuckets = array((0 until nBands).map { b =>
       shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(mask(widths(b)))
     }: _*)
-    val banded = sigs
+    val cap = MinHashConfig(capRatio = capRatio, minBucketCap = minBucketCap)
+      .bucketCap(if (capRatio >= 1.0) 0L else sigs.count())
+    val rawBanded = sigs
       .select(col(idCol), col("simhash"), posexplode(bandBuckets))
       .toDF(idCol, "simhash", "band", "bucket")
+    // persist only under a live cap: capBuckets reads the relation twice
+    // (stats job + kept-side semi-join)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bandedHandle = if (cap == Long.MaxValue) rawBanded
+                       else rawBanded.persist(lvl)
+    val banded = capBuckets(bandedHandle, cap, "simhash")
     val l = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band").as("band_r"),
       col("bucket").as("bucket_r"), col(idCol).as("id_b"),
       col("simhash").as("sh_b"))
-    l.join(r, col("band") === col("band_r") &&
+    val out = l.join(r, col("band") === col("band_r") &&
         col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
+    if (cap == Long.MaxValue) out
+    else {
+      // materialize through the persisted banded relation, then release
+      // it; the returned (persisted) frame is the caller-owned handle
+      val p = out.persist(lvl)
+      p.count()
+      bandedHandle.unpersist(blocking = false)
+      p
+    }
   }
 }

@@ -122,9 +122,18 @@ object LinkageMain {
         // the result's records/matched_pairs plans READ prev's tables;
         // writing them back to the same dir would overwrite a path being
         // read from (the self-overwrite class CLAUDE.md documents) —
-        // daily appends alternate output dirs (or snapshot generations)
-        val canon = (p: String) => new java.io.File(p).getCanonicalPath
-        require(canon(prev) != canon(out),
+        // daily appends alternate output dirs (or snapshot generations).
+        // Canonicalize through Hadoop, not java.io.File: the same store
+        // spelled with and without a scheme (hdfs://nn/store vs /store)
+        // is one path to the FileSystem but two distinct local-File
+        // canonical strings, which would bypass this guard exactly where
+        // it matters (ADVICE r04)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val qual = (p: String) => {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf).makeQualified(hp).toString
+        }
+        require(qual(prev) != qual(out),
           s"--output must differ from --previous ($prev): the incremental " +
             "result reads the previous tables lazily and overwriting them " +
             "mid-read corrupts the cumulative store")

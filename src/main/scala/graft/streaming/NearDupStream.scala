@@ -21,22 +21,182 @@ import graft.linkage.expr.{functions => gf}
   * the admitted corpus in batch when exact precision matters; the
   * streaming gate is the recall-oriented first pass.
   *
-  * At scale: the store is (doc_id, sig) parquet — one 64-long array per
-  * admitted doc; band buckets are derived on read with one transform.
-  * Re-bucket the store table by band/bucket when it outgrows a broadcast.
+  * Store layout (v2 — the at-scale shape, VERDICT r04 #1):
+  *
+  *   storePath/sigs/band=<b>/shard=<s>/…parquet   (bucket, doc_id, sig)
+  *   storePath/_store_meta.json                   layout + minhash config
+  *
+  * One row PER BAND per admitted doc, PARTITIONED BY (band, shard) with
+  * shard = bucket mod `shards` — the writeIvfIndex cells pattern. A
+  * micro-batch collects its own (band, shard) set (bounded by
+  * bands×shards regardless of batch size) and reads ONLY those store
+  * partitions; nothing ever scans or re-buckets the whole store
+  * (the v1 layout re-derived every band bucket of every stored doc on
+  * every trigger — O(store) compute + IO per batch). The price is the
+  * signature duplicated ×bands in store rows (write amplification);
+  * the win is per-trigger IO that scales with the BATCH's bucket
+  * footprint, not the corpus. Size `shards` so bands×shards comfortably
+  * exceeds a typical batch's distinct-bucket count — partitions a batch
+  * does not touch are never opened.
+  *
+  * Delivery semantics: survivors append to the caller's out path
+  * at-least-once (foreachBatch replays after a crash). The store append
+  * itself is replay-safe for RESULTS — a replayed batch anti-joins its
+  * own earlier rows out of the pruned store view (see nearDupBatch), so
+  * it recomputes identical survivors; the duplicate signature rows a
+  * replay appends are content-identical and candidates dedup on
+  * (cand, other), so decisions never change. Dedup the out path
+  * downstream when exactly-once matters (or front it with the
+  * committed-pointer pattern LinkageStream uses).
   */
 object NearDupStream {
+
+  /** Bumped when the store layout or bucket derivation changes. */
+  val StoreVersion = 2
+
+  /** Store partition fan-out: partitions = bands × shards. */
+  val DefaultShards = 16
+
+  case class StoreMeta(version: Int, numHashes: Int, bands: Int,
+                       shingleSize: Int, seed: Long, oph: Boolean,
+                       shards: Int)
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private[streaming] def readStoreMeta(spark: SparkSession,
+                                       storePath: String): Option[StoreMeta] = {
+    val fs = hadoopFs(spark, storePath)
+    val metaPath =
+      new org.apache.hadoop.fs.Path(s"$storePath/_store_meta.json")
+    if (!fs.exists(metaPath)) {
+      // a store dir with data but no meta is a pre-v2 (flat) layout:
+      // its flat (doc_id, sig) rows carry no band partitions, so reading
+      // it as v2 would silently see an empty store and re-admit dups
+      require(!fs.exists(new org.apache.hadoop.fs.Path(storePath)) ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(storePath)).isEmpty,
+        s"$storePath exists without _store_meta.json — a v1 flat " +
+          "signature store; run NearDupStream.migrateStore once (or point " +
+          "the stream at a fresh store dir)")
+      None
+    } else {
+      val in = fs.open(metaPath)
+      val txt = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      require(Seq("version", "numHashes", "bands", "shingleSize", "seed",
+        "oph", "shards").forall(n.has),
+        s"corrupt store meta $metaPath: '$txt'")
+      val meta = StoreMeta(n.get("version").asInt, n.get("numHashes").asInt,
+        n.get("bands").asInt, n.get("shingleSize").asInt,
+        n.get("seed").asLong, n.get("oph").asBoolean, n.get("shards").asInt)
+      require(meta.version == StoreVersion,
+        s"store $storePath is layout v${meta.version}, engine supports " +
+          s"v$StoreVersion")
+      Some(meta)
+    }
+  }
+
+  private def writeStoreMeta(spark: SparkSession, storePath: String,
+                             meta: StoreMeta): Unit = {
+    val fs = hadoopFs(spark, storePath)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$storePath/_store_meta.json"), true)
+    out.write((s"""{"version":${meta.version},"numHashes":${meta.numHashes},""" +
+      s""""bands":${meta.bands},"shingleSize":${meta.shingleSize},""" +
+      s""""seed":${meta.seed},"oph":${meta.oph},"shards":${meta.shards}}""")
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** A config mismatch against the store silently computes foreign
+    * buckets/signatures and re-admits every duplicate — refuse loudly. */
+  private def requireCompatible(meta: StoreMeta,
+                                cfg: Dedup.MinHashConfig): Unit =
+    require(meta.numHashes == cfg.numHashes && meta.bands == cfg.bands &&
+      meta.shingleSize == cfg.shingleSize && meta.seed == cfg.seed &&
+      meta.oph == cfg.oph,
+      s"minhash config mismatch vs store meta: store has " +
+        s"(numHashes=${meta.numHashes}, bands=${meta.bands}, " +
+        s"shingleSize=${meta.shingleSize}, seed=${meta.seed}, " +
+        s"oph=${meta.oph}); caller passed (numHashes=${cfg.numHashes}, " +
+        s"bands=${cfg.bands}, shingleSize=${cfg.shingleSize}, " +
+        s"seed=${cfg.seed}, oph=${cfg.oph})")
+
+  /** The store's on-disk schema for a given id type — supplied explicitly
+    * on every read so schema inference never opens a parquet footer in an
+    * unmatched partition (it also skips the per-batch inference pass). */
+  private def storeSchema(idCol: String,
+                          idType: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("bucket", LongType),
+      StructField(idCol, idType),
+      StructField("sig", ArrayType(LongType)),
+      StructField("band", IntegerType),
+      StructField("shard", IntegerType)))
+  }
+
+  /** Pruned store view for a batch's (band, shard) footprint. The filter
+    * is a disjunction over PARTITION columns only — bounded by
+    * bands×shards terms — so the scan lists and reads matched partition
+    * directories exclusively (NearDupStreamSpec proves it by planting a
+    * poison file in an untouched partition). */
+  private[streaming] def prunedStore(spark: SparkSession, storePath: String,
+                                     idCol: String,
+                                     idType: org.apache.spark.sql.types.DataType,
+                                     touched: Seq[(Int, Int)]): DataFrame = {
+    val base = spark.read.schema(storeSchema(idCol, idType))
+      .parquet(s"$storePath/sigs")
+    if (touched.isEmpty) base.filter(lit(false))
+    else base.filter(touched.map { case (b, s) =>
+      col("band") === b && col("shard") === s
+    }.reduce(_ || _))
+  }
+
+  /** All admitted doc ids (deduped): reconcile/audit entry point. */
+  private[streaming] def storedIds(spark: SparkSession, storePath: String,
+                                   idCol: String): DataFrame = {
+    val meta = readStoreMeta(spark, storePath)
+    require(meta.isDefined, s"no signature store at $storePath")
+    spark.read.parquet(s"$storePath/sigs").select(col(idCol))
+  }
+
+  /** One-time v1 → v2 store migration: flat (doc_id, sig) rows become
+    * per-band bucket rows partitioned by (band, shard). */
+  def migrateStore(spark: SparkSession, v1Path: String, v2Path: String,
+                   cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(oph = true),
+                   idCol: String = "doc_id",
+                   shards: Int = DefaultShards): Unit = {
+    val old = spark.read.parquet(v1Path)
+    writeStoreMeta(spark, v2Path, StoreMeta(StoreVersion, cfg.numHashes,
+      cfg.bands, cfg.shingleSize, cfg.seed, cfg.oph, shards))
+    bucketRows(old, cfg, idCol, shards)
+      .write.mode("append").partitionBy("band", "shard")
+      .parquet(s"$v2Path/sigs")
+  }
+
+  /** (band, shard, bucket, id, sig) store rows from a signature relation. */
+  private def bucketRows(sigs: DataFrame, cfg: Dedup.MinHashConfig,
+                         idCol: String, shards: Int): DataFrame =
+    Dedup.lshBuckets(sigs, cfg, idCol)
+      .withColumn("shard", pmod(col("bucket"), lit(shards.toLong)).cast("int"))
+      .join(sigs.select(col(idCol), col("sig")), Seq(idCol))
+      .select(col("band"), col("shard"), col("bucket"), col(idCol),
+        col("sig"))
 
   /** One micro-batch step (exactly what the foreachBatch sink invokes;
     * exposed for deterministic testing). Returns the batch's survivors
     * — docs that are near-dups neither of any stored doc nor of a
-    * smaller-id doc in the same batch — and appends their signatures to
-    * `storePath`. */
+    * smaller-id doc in the same batch — and appends their signatures'
+    * bucket rows to `storePath`. Only store partitions matching the
+    * batch's own (band, shard) footprint are read. */
   def nearDupBatch(batch: DataFrame, storePath: String,
                    cfg: Dedup.MinHashConfig =
                      Dedup.MinHashConfig(oph = true),
-                   idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   shards: Int = DefaultShards): DataFrame = {
     val spark = batch.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = Dedup.explodedShingles(batch, idCol, textCol,
@@ -45,38 +205,72 @@ object NearDupStream {
       (if (cfg.oph) Dedup.minHashSignaturesOPH(exploded, cfg, idCol)
        else Dedup.minHashSignatures(exploded, cfg, idCol)).persist(lvl)
     sigs.count()
+    val idType = batch.schema(idCol).dataType
 
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
-    val storeExists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
-    val storeSigs = if (storeExists) spark.read.parquet(storePath)
-                    else spark.createDataFrame(
-                      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                      sigs.schema)
+    val meta = readStoreMeta(spark, storePath)
+    meta.foreach(requireCompatible(_, cfg))
+    val shardsEff = meta.map(_.shards).getOrElse(shards)
 
     val batchBuckets = Dedup.lshBuckets(sigs, cfg, idCol)
-    val knownBuckets = Dedup.lshBuckets(storeSigs, cfg, idCol)
-      .withColumn("stored", lit(true))
-      .unionByName(batchBuckets.withColumn("stored", lit(false)))
-    // candidate (batch doc, other doc) sharing a band bucket, where the
-    // batch doc loses to any stored doc and to smaller batch ids
-    val l = batchBuckets.select(col("band"), col("bucket"),
-      col(idCol).as("cand_id"))
-    val r = knownBuckets.select(col("band").as("band_r"),
-      col("bucket").as("bucket_r"), col(idCol).as("other_id"),
-      col("stored"))
-    val cands = l.join(r, col("band") === col("band_r") &&
-        col("bucket") === col("bucket_r") &&
-        (col("stored") || col("other_id") < col("cand_id")))
-      .select("cand_id", "other_id").distinct()
+      .withColumn("shard",
+        pmod(col("bucket"), lit(shardsEff.toLong)).cast("int"))
+      .persist(lvl)
+    // the batch's partition footprint — bounded by bands×shards values
+    // however large the batch, so the driver collect stays tiny
+    val touched = batchBuckets.select(col("band"), col("shard")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
 
-    // signature-estimated Jaccard = fraction of agreeing slots
-    val allSigs = storeSigs.unionByName(sigs)
+    // pruned store rows relevant to this batch, minus the batch's own
+    // ids: a crash between the store append and the checkpoint commit
+    // re-delivers the batch, and without the anti-join its own earlier
+    // rows would mark every doc a self-duplicate (survivors == empty,
+    // the batch silently lost from the out path). The anti-join restores
+    // the pre-append view, so a replay recomputes identical survivors.
+    val storeRows = meta match {
+      case None => None
+      case Some(_) =>
+        Some(prunedStore(spark, storePath, idCol, idType, touched)
+          .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
+          .persist(lvl))
+    }
+
+    // candidates: batch × pruned store (any stored doc beats a batch
+    // doc) plus batch-internal smaller-id pairs — thin (cand, other)
+    // rows only; signatures re-attach after the distinct so no sig
+    // array crosses the dedup exchange
+    val l = batchBuckets.select(col("band"), col("shard"), col("bucket"),
+      col(idCol).as("cand_id"))
+    val storedCands = storeRows.map { sr =>
+      l.join(sr.select(col("band"), col("shard"), col("bucket"),
+          col(idCol).as("other_id")),
+        Seq("band", "shard", "bucket"))
+        .select("cand_id", "other_id")
+    }
+    val batchCands = l.join(
+        batchBuckets.select(col("band").as("band_r"),
+          col("shard").as("shard_r"), col("bucket").as("bucket_r"),
+          col(idCol).as("other_id")),
+        col("band") === col("band_r") && col("shard") === col("shard_r") &&
+          col("bucket") === col("bucket_r") &&
+          col("other_id") < col("cand_id"))
+      .select("cand_id", "other_id")
+    val cands = storedCands.map(_.unionByName(batchCands))
+      .getOrElse(batchCands).distinct()
+
+    // signature-estimated Jaccard = fraction of agreeing slots; the
+    // other side's sig comes from the PRUNED store subset (small,
+    // persisted) or the batch's own signatures — never a store scan
+    val otherSigs = storeRows
+      .map(_.select(col(idCol).as("other_id"), col("sig").as("sig_b"))
+        .dropDuplicates("other_id"))
+      .map(_.unionByName(
+        sigs.select(col(idCol).as("other_id"), col("sig").as("sig_b"))))
+      .getOrElse(
+        sigs.select(col(idCol).as("other_id"), col("sig").as("sig_b")))
     val est = cands
       .join(sigs.select(col(idCol).as("cand_id"), col("sig").as("sig_a")),
         "cand_id")
-      .join(allSigs.select(col(idCol).as("other_id"),
-        col("sig").as("sig_b")), "other_id")
+      .join(otherSigs, "other_id")
       // codegen'd slot-agreement kernel (expr.SigAgreement) — the
       // aggregate(zip_with(..)) HOF form ran interpreted per candidate
       .withColumn("est_jaccard",
@@ -93,10 +287,24 @@ object NearDupStream {
     // is eager and lineage-free, so the returned frame is inert.
     val survivors = batch.join(dropped, Seq(idCol), "left_anti")
       .localCheckpoint()
-    sigs.join(survivors.select(idCol), Seq(idCol), "left_semi")
-      .write.mode("append").parquet(storePath)
-    spark.catalog.refreshByPath(storePath)
+    // meta BEFORE the first data append: a crash between them leaves a
+    // valid empty store, whereas data-without-meta would read as a v1
+    // layout and refuse to start
+    if (meta.isEmpty)
+      writeStoreMeta(spark, storePath, StoreMeta(StoreVersion,
+        cfg.numHashes, cfg.bands, cfg.shingleSize, cfg.seed, cfg.oph,
+        shardsEff))
+    batchBuckets
+      .join(survivors.select(idCol), Seq(idCol), "left_semi")
+      .join(sigs.select(col(idCol), col("sig")), Seq(idCol))
+      .select(col("band"), col("shard"), col("bucket"), col(idCol),
+        col("sig"))
+      .write.mode("append").partitionBy("band", "shard")
+      .parquet(s"$storePath/sigs")
+    spark.catalog.refreshByPath(s"$storePath/sigs")
     sigs.unpersist(blocking = false)
+    batchBuckets.unpersist(blocking = false)
+    storeRows.foreach(_.unpersist(blocking = false))
     survivors
   }
 
@@ -125,7 +333,25 @@ object NearDupStream {
   /** Batch reconcile job closing the stream's documented estimated-vs-
     * exact gap: re-runs the EXACT shingle-set Jaccard over the corpus the
     * stream processed and diffs it against the store's admit/drop
-    * decisions. Emits one row per disagreement:
+    * decisions.
+    *
+    * Candidate generation here is DECOUPLED from the stream's banding
+    * (ADVICE r04): reconcile re-buckets at MAX-RECALL banding
+    * (bands = numHashes, r = 1 — any shared signature slot makes a
+    * candidate), not the stream's coarser bands. With the stream's own
+    * bands a pair the stream's banding never collided on would produce
+    * identical buckets here and be missed identically — the banding-miss
+    * false_admit class would be structurally undetectable. At r = 1 the
+    * residual miss probability for a pair with exact Jaccard s is
+    * (1-s)^numHashes (slot agreement ≈ s per slot): ≤ 1e-33 at the 0.7
+    * default threshold with k = 64. The price is candidate volume — slot
+    * collisions scale with pairwise similarity, so a mutually-similar
+    * corpus approaches all-pairs verification. That is the audit's cost
+    * model by design: run it per-partition/per-sample at corpus scale.
+    * The oversized-bucket cap is intentionally OFF here for the same
+    * reason (a capped audit silently under-reports).
+    *
+    * Emits one row per disagreement:
     *
     *  - `false_admit`: both docs were admitted, but their exact Jaccard
     *    ≥ threshold — a duplicate the estimate let through (id_a, id_b,
@@ -153,17 +379,21 @@ object NearDupStream {
       : DataFrame = {
     val spark = corpus.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // max-recall banding for the audit (see scaladoc): signatures are
+    // bands-independent, so only the BUCKETING legs change granularity;
+    // the hot-bucket cap is OFF — a capped audit under-reports silently
+    val auditCfg = cfg.copy(bands = cfg.numHashes, capRatio = 1.0)
     // both fan out to several joins inside the one materializing action:
     // without the persists the store scan + distinct re-runs four times
     // and the corpus scan three (the measured minhash-fan-out lesson)
-    val admittedIds = spark.read.parquet(storePath)
-      .select(col(idCol)).distinct().persist(lvl)
+    val admittedIds = storedIds(spark, storePath, idCol)
+      .distinct().persist(lvl)
     val corpusP = corpus.persist(lvl)
     val admitted = corpusP.join(admittedIds, Seq(idCol), "left_semi")
     val dropped = corpusP.join(admittedIds, Seq(idCol), "left_anti")
 
     // exact near-dup pairs among admitted docs = duplicates that got in
-    val admitPairs = Dedup.minHashNearDups(admitted, cfg, idCol, textCol)
+    val admitPairs = Dedup.minHashNearDups(admitted, auditCfg, idCol, textCol)
     val falseAdmits = admitPairs
       .select(col("id_a"), col("id_b"), col("jaccard"),
         lit("false_admit").as("kind"))
@@ -174,7 +404,7 @@ object NearDupStream {
       cfg.shingleSize).persist(lvl)
     val sigs = if (cfg.oph) Dedup.minHashSignaturesOPH(exploded, cfg, idCol)
                else Dedup.minHashSignatures(exploded, cfg, idCol)
-    val buckets = Dedup.lshBuckets(sigs, cfg, idCol).persist(lvl)
+    val buckets = Dedup.lshBuckets(sigs, auditCfg, idCol).persist(lvl)
     val dB = buckets.join(admittedIds, Seq(idCol), "left_anti")
       .select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val aB = buckets.join(admittedIds, Seq(idCol), "left_semi")

@@ -146,6 +146,55 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("group_size") === 1L).count() == 5L)
   }
 
+  test("simhash hot-bucket cap bounds a planted mega-bucket") {
+    import spark.implicits._
+    // 500 IDENTICAL docs collapse to one simhash → every band bucket
+    // holds 500 rows; uncapped, the banded self-join builds 500²/2 pairs
+    // per band inside ONE partition. Under the default cap
+    // (max(50, 2%·N) = 50 < 500) those buckets are dropped — the
+    // documented recall trade: identical floods belong to exact dedup —
+    // while a small near-dup family elsewhere is still found.
+    val mega = spark.range(500).select((col("id") + 10000).as("doc_id"),
+      lit("flood flood flood flood flood").as("text"))
+    val control = Seq(
+      (1L, corpus.filter(col("doc_id") === 0L).head().getString(1)),
+      (2L, corpus.filter(col("doc_id") === 1000L).head().getString(1)))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(mega.unionByName(control))
+    val out = Dedup.simHashNearDups(sigs, maxDistance = 3)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 10000L || b >= 10000L },
+      "mega-bucket pairs must be dropped by the cap")
+    assert(pairs == Set((1L, 2L)),
+      s"the uncapped control near-dup pair must survive: $pairs")
+    out.unpersist()
+    // capRatio >= 1 disables the guard: the flood pairs come back
+    val uncapped = Dedup.simHashNearDups(sigs, maxDistance = 3,
+      capRatio = 1.0)
+    assert(uncapped.filter(col("id_a") >= 10000L).count() ==
+      500L * 499L / 2L)
+  }
+
+  test("minhash hot-bucket cap bounds a planted mega-bucket") {
+    import spark.implicits._
+    // 300 identical docs share every band bucket; the default cap drops
+    // those buckets from lshCandidates while the planted near-dup family
+    // in `corpus` is still fully recalled (its buckets stay tiny)
+    val mega = spark.range(300).select((col("id") + 50000).as("doc_id"),
+      lit("flood of identical tokens repeated here").as("text"))
+    val dups = Dedup.minHashNearDups(corpus.unionByName(mega),
+      Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.6))
+    val pairs = dups.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 50000L || b >= 50000L },
+      "mega-bucket pairs must be dropped by the cap")
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, 1000L + i)),
+        s"planted pair $i lost to an unrelated cap")
+    }
+    dups.unpersist()
+  }
+
   test("ngram jaccard verification is exact") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"),

@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.NearDupStream
 
-/** Streaming near-dup dedup: batch-2 docs that near-duplicate stored
-  * batch-1 docs (or smaller ids in their own batch) are refused; the
-  * signature store accumulates only admitted docs. */
+/** Streaming near-dup dedup over the bucketed (v2) signature store:
+  * batch-2 docs that near-duplicate stored batch-1 docs (or smaller ids
+  * in their own batch) are refused; the store accumulates bucket rows
+  * for admitted docs only, PARTITIONED BY (band, shard); and a
+  * micro-batch provably reads ONLY the store partitions its own bucket
+  * footprint touches (poison-file proof). */
 class NearDupStreamSpec extends AnyFunSuite with SparkFixture {
 
   private def doc(seed: Int): String =
@@ -36,10 +39,98 @@ class NearDupStreamSpec extends AnyFunSuite with SparkFixture {
       "10/12 must lose to the store, 13 to its smaller in-batch sibling")
     s2.unpersist()
 
-    // the store holds signatures for admitted docs only
-    val stored = spark.read.parquet(store)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(stored == Set(1L, 2L, 3L, 11L))
+    // the store holds bucket rows for admitted docs only — one row per
+    // band per doc, partitioned by (band, shard)
+    val rows = spark.read.parquet(s"$store/sigs")
+    assert(rows.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 11L))
+    val cfg = graft.data.Dedup.MinHashConfig(oph = true)
+    assert(rows.count() == 4L * cfg.bands, "one store row per band per doc")
+    assert(rows.columns.toSet ==
+      Set("band", "shard", "bucket", "doc_id", "sig"))
+    // a config mismatched against the store meta is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      NearDupStream.nearDupBatch(b2, store,
+        cfg.copy(seed = 99L))
+    }
+    assert(e.getMessage.contains("mismatch"))
+  }
+
+  test("a batch reads ONLY its matched store partitions (poison proof)") {
+    import spark.implicits._
+    val store = s"$dir/prunestore"
+    val cfg = graft.data.Dedup.MinHashConfig(oph = true)
+    // seeds chosen off the doc() construction's cyclic-shift aliases:
+    // doc(a) and doc(b) share 40 - min(85Δ mod 97, 97 - 85Δ mod 97)
+    // tokens (Δ = b - a), so e.g. Δ=16 is a ~0.85-Jaccard near-dup —
+    // 60..62 are mutually ≤ 0.52, doc(64) is ≤ 0.26 against all three
+    val b1 = (0 until 3).map(i => (i.toLong, doc(i + 60))).toDF("doc_id", "text")
+    NearDupStream.nearDupBatch(b1, store, cfg).unpersist()
+
+    // compute batch 2's (band, shard) footprint with the same library
+    // calls the batch step uses, then poison a partition OUTSIDE it
+    val b2 = Seq((100L, doc(61).replaceFirst("tok", "EDITEDtok")),
+      (101L, doc(64))).toDF("doc_id", "text")
+    val sigs2 = graft.data.Dedup.minHashSignaturesOPH(
+      graft.data.Dedup.explodedShingles(b2, "doc_id", "text",
+        cfg.shingleSize), cfg)
+    val touched = graft.data.Dedup.lshBuckets(sigs2, cfg)
+      .withColumn("shard", pmod(col("bucket"),
+        lit(NearDupStream.DefaultShards.toLong)).cast("int"))
+      .select("band", "shard").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val poison = (0 until cfg.bands).iterator
+      .flatMap(b => (0 until NearDupStream.DefaultShards).map(s => (b, s)))
+      .find(!touched.contains(_))
+    assert(poison.isDefined, "footprint covered every partition — widen shards")
+    val (pb, ps) = poison.get
+    val poisonDir = new java.io.File(s"$store/sigs/band=$pb/shard=$ps")
+    poisonDir.mkdirs()
+    val poisonFile = new java.io.File(poisonDir, "part-00000-poison.parquet")
+    val w = new java.io.FileOutputStream(poisonFile)
+    w.write("this is not a parquet file".getBytes("UTF-8"))
+    w.close()
+    spark.catalog.refreshByPath(s"$store/sigs")
+
+    // the batch must succeed — its pruned scan never opens the poison —
+    // and still catch 100 (near-dup of stored doc 1) while admitting 101
+    val s2 = NearDupStream.nearDupBatch(b2, store, cfg)
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(101L))
+    s2.unpersist()
+
+    // control: an UNPRUNED scan of the same store trips over the poison,
+    // proving the file would have been read absent partition pruning
+    spark.catalog.refreshByPath(s"$store/sigs")
+    intercept[Exception] {
+      spark.read.parquet(s"$store/sigs")
+        .filter(col("bucket").isNotNull).count()
+    }
+    poisonFile.delete()
+    spark.catalog.refreshByPath(s"$store/sigs")
+  }
+
+  test("v1 flat stores are refused and migrate cleanly") {
+    import spark.implicits._
+    val cfg = graft.data.Dedup.MinHashConfig(oph = true)
+    val docs = Seq((1L, doc(40)), (2L, doc(41))).toDF("doc_id", "text")
+    val sigs = graft.data.Dedup.minHashSignaturesOPH(
+      graft.data.Dedup.explodedShingles(docs, "doc_id", "text",
+        cfg.shingleSize), cfg)
+    sigs.write.mode("overwrite").parquet(s"$dir/v1store")
+
+    val e = intercept[IllegalArgumentException] {
+      NearDupStream.nearDupBatch(docs, s"$dir/v1store", cfg)
+    }
+    assert(e.getMessage.contains("v1"), e.getMessage)
+
+    NearDupStream.migrateStore(spark, s"$dir/v1store", s"$dir/v2store", cfg)
+    val b2 = Seq((10L, doc(40).replaceFirst("tok", "EDITEDtok")),
+      (11L, doc(55))).toDF("doc_id", "text")
+    val s2 = NearDupStream.nearDupBatch(b2, s"$dir/v2store", cfg)
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+      "10 must lose to migrated stored doc 1")
+    s2.unpersist()
   }
 
   test("foreachBatch sink admits exactly the non-duplicates") {
@@ -133,5 +224,75 @@ class NearDupStreamSpec extends AnyFunSuite with SparkFixture {
     assert(fa == 0L && fd == 1L)
     val persisted = spark.read.parquet(s"$dir/recout/diffs").collect()
     assert(persisted.length == 1 && persisted.head.getString(3) == "false_drop")
+  }
+
+  test("reconcile catches a BANDING miss the stream's own LSH cannot") {
+    import spark.implicits._
+    import graft.data.Dedup
+    // STANDARD signatures here, not OPH: slot agreement equals the exact
+    // Jaccard (s ≈ 0.73 → band-miss ≈ (1-s⁴)¹⁶ ≈ 0.5%), whereas OPH's
+    // rotation densification on short docs correlates slots and pushes
+    // agreement toward 0.9 — banding misses become ~1e-5-rare and the
+    // deterministic search below would need millions of candidates
+    val cfg = Dedup.MinHashConfig(oph = false, jaccardThreshold = 0.7)
+
+    // deterministic search for a TRUE near-dup pair (exact Jaccard ≥ t)
+    // that shares NO (band, bucket) at the stream's bands=16 — the
+    // banding-miss false_admit class: the stream admits both (no
+    // candidate is ever formed), and a reconcile that re-used the
+    // stream's banding would reproduce the identical miss (ADVICE r04).
+    // m=2 well-spread edits on a 40-token doc give exact ≈ 32/44 = 0.727;
+    // per-variant P(no band collision) ≈ (1-s^4)^16 ≈ 1% — search many
+    // bases × offsets in ONE batched signature pass.
+    def exactJac(a: String, b: String): Double = {
+      def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val cases = for (b <- 0 until 40; o <- 0 until 20; sp <- Seq(13, 17))
+      yield (b, o, sp)
+    val pairs = cases.zipWithIndex.map { case ((b, o, sp), i) =>
+      val baseText = doc(b + 300)
+      val toks = baseText.split(" ")
+      val pos = Set(o, (o + sp) % toks.length)
+      val edited = toks.zipWithIndex.map { case (t, j) =>
+        if (pos(j)) s"ZX$j$sp" else t
+      }.mkString(" ")
+      (i, baseText, edited)
+    }
+    val allDocs = pairs.flatMap { case (i, b, e) =>
+      Seq((i * 2L, b), (i * 2L + 1L, e))
+    }.toDF("doc_id", "text")
+    val buckets = Dedup.lshBuckets(Dedup.minHashSignatures(
+        Dedup.explodedShingles(allDocs, "doc_id", "text", cfg.shingleSize),
+        cfg), cfg)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+    val miss = pairs.find { case (i, b, e) =>
+      exactJac(b, e) >= cfg.jaccardThreshold &&
+        buckets(i * 2L).intersect(buckets(i * 2L + 1L)).isEmpty
+    }
+    assert(miss.isDefined,
+      "no banding-missed pair in the search window — widen it")
+    val (_, baseText, editedText) = miss.get
+
+    val store = s"$dir/bandmissstore"
+    val s1 = NearDupStream.nearDupBatch(
+      Seq((1L, baseText)).toDF("doc_id", "text"), store, cfg)
+    assert(s1.count() == 1)
+    val s2 = NearDupStream.nearDupBatch(
+      Seq((2L, editedText)).toDF("doc_id", "text"), store, cfg)
+    assert(s2.count() == 1,
+      "the banding miss must ADMIT doc 2 — no candidate pair forms")
+    s1.unpersist(); s2.unpersist()
+
+    val corpus = Seq((1L, baseText), (2L, editedText)).toDF("doc_id", "text")
+    val rec = NearDupStream.reconcileStore(store, corpus, cfg)
+    val diffs = rec.collect()
+    val falseAdmits = diffs.filter(_.getString(3) == "false_admit")
+    assert(falseAdmits.length == 1,
+      s"max-recall reconcile missed the banding miss: ${diffs.mkString(";")}")
+    assert(falseAdmits.head.getDouble(2) >= cfg.jaccardThreshold)
+    org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(rec)
   }
 }
