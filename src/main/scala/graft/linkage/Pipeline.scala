@@ -81,7 +81,15 @@ object Pipeline {
         * run would leak a full records copy into the warehouse.
         * User-named bucketedRecords tables are caller-owned and never
         * dropped here. */
-      autoBucketTable: Option[String] = None) {
+      autoBucketTable: Option[String] = None,
+      /** Incremental runs only: the increment's OWN folded records
+        * (piiCols shape) and newly found matches — what an append-only
+        * store (LinkageStream's delta logs) writes per batch, O(new)
+        * rows where `records`/`matchedPairs` are the O(corpus)
+        * cumulative views. None on full runs (the full result IS the
+        * delta there). */
+      deltaRecords: Option[DataFrame] = None,
+      deltaMatches: Option[DataFrame] = None) {
     def unpersist(): Unit = {
       cached.foreach(_.unpersist(false))
       autoBucketTable.foreach(t =>
@@ -244,8 +252,13 @@ object Pipeline {
       cfg.candidates)
     val scored = Scoring.scorePairs(all, pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newMatches = Scoring.matches(scored)
+    // no overlap to dedup across the union in practice — incremental
+    // candidates always touch a new record, previous matches never do —
+    // but keep the belt: a caller-supplied previousMatches overlapping
+    // the increment must not double-count
     val matched = previousMatches
-      .unionByName(Scoring.matches(scored))
+      .unionByName(newMatches)
       .dropDuplicates("id_a", "id_b")
 
     val (labeled, labels) = clusterAndLabel(spark, all, matched, cfg)
@@ -260,7 +273,8 @@ object Pipeline {
     cfg.metricsPath.foreach(p => TableIO.write(metrics, p))
 
     Result(all, pairs, scored, matched, labeled, clustersDf, metrics,
-      cached = Seq(newRecords, all, scored, labels))
+      cached = Seq(newRecords, all, scored, labels),
+      deltaRecords = Some(newRecords), deltaMatches = Some(newMatches))
   }
 
   private def metricsDf(spark: SparkSession,

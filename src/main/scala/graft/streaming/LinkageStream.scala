@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.linkage.{Pipeline, TableIO}
 
@@ -10,21 +11,34 @@ import graft.linkage.{Pipeline, TableIO}
   * ingest and daily-append paths, so a deployment can keep clusters
   * current without ever re-scoring the full corpus.
   *
-  * Store layout (`storeDir/`):
-  *   g0/, g1/       alternating GENERATIONS of the cumulative tables
-  *                  (records, matched_pairs, clusters — TableIO layout)
-  *   _state.json    {"gen": <current>, "batch": <last committed id>}
+  * Store layout v2 (`storeDir/`) — delta logs + one generational table:
   *
-  * Generations exist because the incremental result's plans lazily READ
-  * the previous tables: writing the new tables over the path being read
-  * is the self-overwrite class this repo documents — each batch writes
-  * the OTHER generation and flips the pointer only after every table
-  * landed. Restart semantics ride on that pointer: foreachBatch replays
-  * the in-flight batch after a crash, and
-  *  - a crash BEFORE the pointer flip re-runs the batch into the same
-  *    target generation (mode=overwrite, same deterministic input);
+  *   records_log/batch=<id>/    the batch's OWN folded records (piiCols)
+  *   matches_log/batch=<id>/    the batch's NEWLY found matched pairs
+  *   g0/, g1/                   alternating GENERATIONS of clusters only
+  *   _state.json                {"version":2,"gen":<g>,"batch":<id>}
+  *
+  * records and matched_pairs are append-only in CONTENT (a conversation
+  * folds once; a found match is never retracted), so each batch appends
+  * exactly its O(batch) delta to the two logs — v1 rewrote all three
+  * cumulative tables per trigger, an O(corpus) write per batch, the
+  * scale-killer VERDICT r04 flagged. Only clusters, whose labels can
+  * change on every batch, keeps the generational rewrite.
+  *
+  * Consistency and exactly-once ride on the committed pointer:
+  *  - log partitions are named by BATCH ID and every reader (including
+  *    the next batch's own incremental inputs) filters
+  *    batch <= state.batch, so partially written / uncommitted partitions
+  *    are invisible — partition pruning makes the filter free;
+  *  - a foreachBatch replay after a crash re-OVERWRITES its own two
+  *    partitions (same deterministic input → same content) and the other
+  *    clusters generation, then flips the pointer — idempotent;
   *  - a replay AFTER the flip is detected by `batch <= state.batch` and
   *    skipped — exactly-once table commits on at-least-once delivery.
+  *  Because appends land in fresh partition directories, no batch ever
+  *  writes a path its own inputs are lazily reading (the self-overwrite
+  *  class v1's generation flip existed to dodge for all three tables —
+  *  now only clusters needs it).
   *
   * Contract (same as Pipeline.incremental): a conversation arrives
   * WHOLLY within one micro-batch (append-only corpus of complete
@@ -33,6 +47,10 @@ import graft.linkage.{Pipeline, TableIO}
   * batch the source by conversation.
   */
 object LinkageStream {
+
+  /** Bumped when the store layout changes. v1 (no version field in
+    * _state.json) kept cumulative records/matched_pairs per generation. */
+  val StoreVersion = 2
 
   case class StoreState(gen: Int, batch: Long)
 
@@ -58,16 +76,8 @@ object LinkageStream {
   /** One micro-batch step (what the sink invokes; exposed for
     * deterministic testing and for driving the store in batch jobs).
     * Returns false when the batch was a skipped replay or empty.
-    *
-    * Every batch rewrites the cumulative tables in full — a deliberate
-    * trade: the generation flip gives ATOMIC snapshot semantics (readers
-    * always see one consistent {records, matched_pairs, clusters} set),
-    * at O(corpus) write per trigger. records/matched_pairs are
-    * append-only in content, so a delta-log layout (append-only record/
-    * match logs + generational clusters) halves the steady-state I/O —
-    * the right evolution once trigger latency matters more than the
-    * single-pointer simplicity; clusters genuinely need the rewrite
-    * either way (labels can change on every batch). */
+    * Writes O(batch) rows to the two delta logs and rewrites only the
+    * clusters table (see object doc). */
   def linkBatch(batch: DataFrame, batchId: Long, storeDir: String,
                 cfg: Pipeline.Config = Pipeline.Config()): Boolean = {
     // the sink runs Pipeline.run for the FIRST batch and incremental for
@@ -97,44 +107,106 @@ object LinkageStream {
     val (result, nextGen) = st match {
       case None => (Pipeline.run(spark, batch, cfg), 0)
       case Some(s) =>
-        val prev = s"$storeDir/g${s.gen}"
         (Pipeline.incremental(spark,
-          TableIO.read(spark, s"$prev/records"),
-          TableIO.read(spark, s"$prev/matched_pairs"), batch, cfg),
+          readLog(spark, s"$storeDir/records_log", s.batch),
+          readLog(spark, s"$storeDir/matches_log", s.batch), batch, cfg),
           1 - s.gen)
     }
-    val dst = s"$storeDir/g$nextGen"
-    // project BOTH paths to the common piiCols schema: the full-run
-    // first batch otherwise writes Fold's wider shape (ts_min/ts_max)
-    // and the store's records schema would flip after the second batch
-    TableIO.write(result.records
-      .select(Pipeline.piiCols.map(org.apache.spark.sql.functions.col): _*),
-      s"$dst/records")
-    TableIO.write(result.matchedPairs, s"$dst/matched_pairs")
-    TableIO.write(result.clusters, s"$dst/clusters")
+    // delta rows for the logs: the increment's own records/new matches;
+    // a FIRST batch's full result IS its delta. Both paths project to
+    // the common piiCols schema (the full run's Fold output is wider —
+    // ts_min/ts_max — and the log schema must not depend on arrival
+    // order).
+    val deltaRecords = result.deltaRecords.getOrElse(result.records)
+      .select(Pipeline.piiCols.map(col): _*)
+    val deltaMatches = result.deltaMatches.getOrElse(result.matchedPairs)
+    // idempotent per-batch partitions: a replay overwrites its own dirs
+    deltaRecords.write.mode("overwrite")
+      .parquet(s"$storeDir/records_log/batch=$batchId")
+    deltaMatches.write.mode("overwrite")
+      .parquet(s"$storeDir/matches_log/batch=$batchId")
+    // new partition dirs dodge the self-overwrite class, but the session
+    // FileStatusCache may still hold the roots' pre-append listings
+    spark.catalog.refreshByPath(s"$storeDir/records_log")
+    spark.catalog.refreshByPath(s"$storeDir/matches_log")
+    TableIO.write(result.clusters, s"$storeDir/g$nextGen/clusters")
     result.unpersist()
     writeState(spark, storeDir, StoreState(nextGen, batchId))
     true
   }
 
-  /** The current generation's cumulative clusters / records /
-    * matched_pairs. */
-  def currentClusters(spark: SparkSession, storeDir: String): DataFrame =
-    currentTable(spark, storeDir, "clusters")
-  def currentRecords(spark: SparkSession, storeDir: String): DataFrame =
-    currentTable(spark, storeDir, "records")
-  def currentMatches(spark: SparkSession, storeDir: String): DataFrame =
-    currentTable(spark, storeDir, "matched_pairs")
+  /** Committed log view: partitions at or below the committed batch
+    * pointer (partition-pruned filter), partition column dropped. */
+  private def readLog(spark: SparkSession, root: String,
+                      upTo: Long): DataFrame =
+    spark.read.parquet(root)
+      .filter(col("batch") <= upTo)
+      .drop("batch")
 
-  private def currentTable(spark: SparkSession, storeDir: String,
-                           name: String): DataFrame = {
-    val st = readState(spark, storeDir).getOrElse(
+  /** The current cumulative clusters / records / matched_pairs.
+    *
+    * records/matches are APPEND-ONLY logs: the returned plans stay valid
+    * indefinitely (new partitions are simply not in the committed
+    * filter). clusters reads the generation the pointer names AT CALL
+    * TIME, and that generation's directory is REWRITTEN two committed
+    * batches later — a clusters DataFrame held across batches can hit
+    * missing files or a mixed snapshot. Materialize within the window,
+    * or pass snapshot = true to localCheckpoint the result (eager,
+    * lineage-free — survives any number of generation flips; release it
+    * with DatasetBridge.releaseCheckpoint when done). */
+  def currentClusters(spark: SparkSession, storeDir: String,
+                      snapshot: Boolean = false): DataFrame = {
+    val st = requireState(spark, storeDir)
+    val df = TableIO.read(spark, s"$storeDir/g${st.gen}/clusters")
+    if (snapshot) df.localCheckpoint() else df
+  }
+  def currentRecords(spark: SparkSession, storeDir: String): DataFrame =
+    readLog(spark, s"$storeDir/records_log",
+      requireState(spark, storeDir).batch)
+  def currentMatches(spark: SparkSession, storeDir: String): DataFrame =
+    readLog(spark, s"$storeDir/matches_log",
+      requireState(spark, storeDir).batch)
+
+  private def requireState(spark: SparkSession,
+                           storeDir: String): StoreState =
+    readState(spark, storeDir).getOrElse(
       throw new IllegalStateException(s"no linkage store at $storeDir"))
-    TableIO.read(spark, s"$storeDir/g${st.gen}/$name")
+
+  /** One-time v1 → v2 in-place migration: the v1 generation's cumulative
+    * records/matched_pairs become the logs' single opening partition
+    * (batch = the committed pointer), clusters stay where they are, and
+    * the pointer gains the version stamp. */
+  def migrateStore(spark: SparkSession, storeDir: String): Unit = {
+    val raw = readRawState(spark, storeDir).getOrElse(
+      throw new IllegalStateException(s"no linkage store at $storeDir"))
+    require(raw._3.isEmpty,
+      s"$storeDir is already a v${raw._3.get} store")
+    val (gen, batch) = (raw._1, raw._2)
+    TableIO.read(spark, s"$storeDir/g$gen/records")
+      .select(Pipeline.piiCols.map(col): _*)
+      .write.mode("overwrite")
+      .parquet(s"$storeDir/records_log/batch=$batch")
+    TableIO.read(spark, s"$storeDir/g$gen/matched_pairs")
+      .write.mode("overwrite")
+      .parquet(s"$storeDir/matches_log/batch=$batch")
+    // v1 kept clusters under g<gen>/clusters too — layout unchanged
+    writeState(spark, storeDir, StoreState(gen, batch))
   }
 
   private[graft] def readState(spark: SparkSession,
-                               storeDir: String): Option[StoreState] = {
+                               storeDir: String): Option[StoreState] =
+    readRawState(spark, storeDir).map { case (gen, batch, version) =>
+      require(version.contains(StoreVersion),
+        s"linkage store $storeDir is layout v${version.getOrElse(1)}, " +
+          s"engine supports v$StoreVersion — run " +
+          "LinkageStream.migrateStore once")
+      StoreState(gen, batch)
+    }
+
+  /** (gen, batch, version?) without the version gate — the migration
+    * entry point needs to read v1 pointers. */
+  private def readRawState(spark: SparkSession, storeDir: String)
+      : Option[(Int, Long, Option[Int])] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
     // if only the tmp pointer exists, a crash hit the delete→rename
@@ -157,7 +229,8 @@ object LinkageStream {
       // generation and re-admit committed batches
       require(node.has("gen") && node.has("batch"),
         s"corrupt linkage-store pointer $p: '$txt'")
-      Some(StoreState(node.get("gen").asInt(), node.get("batch").asLong()))
+      Some((node.get("gen").asInt(), node.get("batch").asLong(),
+        if (node.has("version")) Some(node.get("version").asInt()) else None))
     }
   }
 
@@ -172,7 +245,8 @@ object LinkageStream {
     val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/_state.json.tmp")
     val dst = new org.apache.hadoop.fs.Path(s"$storeDir/_state.json")
     val out = fs.create(tmp, true)
-    out.write(s"""{"gen":${st.gen},"batch":${st.batch}}""".getBytes("UTF-8"))
+    out.write((s"""{"version":$StoreVersion,"gen":${st.gen},""" +
+      s""""batch":${st.batch}}""").getBytes("UTF-8"))
     out.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"pointer rename failed: $tmp -> $dst")

@@ -53,12 +53,32 @@ class LinkageStreamSpec extends AnyFunSuite with SparkFixture {
       .select(col("cluster_id"), col("members"))
     assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
       s"full=${ca.count()} streamed=${cb.count()}")
-    full.unpersist()
+    // snapshot = true returns the same rows through an eager,
+    // generation-flip-proof copy
+    val snap = LinkageStream.currentClusters(spark, s"$dir/store",
+      snapshot = true)
+    assert(snap.count() == cb.count())
+    org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(snap)
 
     // the records schema is the common piiCols shape from the FIRST
-    // generation on (no wider-then-narrower flip as the store ages)
+    // batch on (no wider-then-narrower flip as the store ages)
     assert(LinkageStream.currentRecords(spark, s"$dir/store")
       .columns.toSeq == Pipeline.piiCols)
+
+    // DELTA LOGS: batch N appends exactly its own conversations to
+    // records_log — O(batch) rows, never the cumulative corpus (the v1
+    // layout rewrote O(corpus) per trigger)
+    val logCounts = (0 to 2).map(i =>
+      spark.read.parquet(s"$dir/store/records_log/batch=$i").count())
+    val convCounts = Seq(t1, t2, t3).map(_.map(_.conv_id).distinct.length)
+    assert(logCounts.map(_.toInt) == convCounts,
+      s"per-batch log rows $logCounts != per-batch conversations $convCounts")
+    assert(LinkageStream.currentRecords(spark, s"$dir/store").count() ==
+      convCounts.sum)
+    // matches accumulate across the three partitions with no losses
+    assert(LinkageStream.currentMatches(spark, s"$dir/store").count() ==
+      full.matchedPairs.count())
+    full.unpersist()
 
     // replay safety: re-linking the in-flight (committed) batch id is a
     // no-op; an id BEHIND the pointer means a reset checkpoint against a
@@ -83,6 +103,47 @@ class LinkageStreamSpec extends AnyFunSuite with SparkFixture {
       LinkageStream.linkBatch(all.toDF.limit(10), st0.batch + 101,
         s"$dir/store", Pipeline.Config(exactAddresses = true))
     }
+    all.unpersist()
+  }
+
+  test("v1 stores are refused loudly and migrate in place") {
+    import spark.implicits._
+    val cfg = SynthTranscripts.Config(seed = 21L, nConvs = 80)
+    val all = SynthTranscripts.transcripts(spark, cfg).toDF.cache()
+    val seedId = regexp_extract(col("conv_id"), "^(c\\d+)", 1)
+    val inB2 = pmod(xxhash64(seedId), lit(2)) === 0
+    val t1 = all.filter(!inB2 || col("conv_id").contains("~"))
+    val t2 = all.filter(inB2 && !col("conv_id").contains("~"))
+
+    // hand-build a v1 store: cumulative tables under g0, pointer without
+    // a version stamp — exactly what a pre-v2 deployment left behind
+    val store = s"$dir/v1store"
+    val prev = Pipeline.run(spark, t1)
+    TableIO.write(prev.records
+      .select(Pipeline.piiCols.map(col): _*), s"$store/g0/records")
+    TableIO.write(prev.matchedPairs, s"$store/g0/matched_pairs")
+    TableIO.write(prev.clusters, s"$store/g0/clusters")
+    prev.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(store), spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(
+      new org.apache.hadoop.fs.Path(s"$store/_state.json"), true)
+    o.write("""{"gen":0,"batch":5}""".getBytes("UTF-8")); o.close()
+
+    val e = intercept[IllegalArgumentException] {
+      LinkageStream.linkBatch(t2, 6L, store)
+    }
+    assert(e.getMessage.contains("migrateStore"), e.getMessage)
+
+    LinkageStream.migrateStore(spark, store)
+    assert(LinkageStream.linkBatch(t2, 6L, store))
+    val full = Pipeline.run(spark, all)
+    val ca = full.clusters.select(col("cluster_id"), col("members"))
+    val cb = LinkageStream.currentClusters(spark, store)
+      .select(col("cluster_id"), col("members"))
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty,
+      s"full=${ca.count()} migrated+increment=${cb.count()}")
+    full.unpersist()
     all.unpersist()
   }
 
