@@ -70,17 +70,119 @@ object CleanCorpus {
 
     (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang))
   }
+
+  /** Incremental clean — the daily-append mode: clean ONLY `newDocs`
+    * against the previous run's EXACT-survivor corpus, with survivors
+    * provably equal to a full `clean(prev ∪ new)` rerun (CleanCorpusSpec
+    * proves it across two increments):
+    *
+    *   clean(prev ∪ new).cleaned
+    *     == clean(prev).cleaned ∪ cleanIncremental(prevExact, new).cleaned
+    *
+    * `prevExactSurvivors` must be the previous cumulative EXACT-stage
+    * survivor set (docs that survived exact dedup, BEFORE the near-dup/
+    * quality stages — CleanCorpusMain persists their ids per run as
+    * exact_survivor_ids). Post-near-dup or post-quality sets are NOT
+    * sufficient: the full run's drop-the-larger-id near-dup policy drops
+    * a new doc that pairs with an exact-survivor even when that survivor
+    * itself later dies at near-dup or quality, so the incremental run
+    * must see every exact survivor to reproduce the decision.
+    *
+    * Precondition (enforced): every new id is GREATER than every
+    * previous id — the append-only id discipline under which
+    * keep-the-smallest policies decide identically in both orders.
+    *
+    * Returns (newly cleaned docs, stage counts for the new slice, the
+    * new docs that survived exact dedup — append their ids to the
+    * cumulative exact-survivor store for the next increment). The first
+    * two mirror [[clean]]; all three DataFrames are caller-owned
+    * (cleaned is persisted — unpersist when done).
+    *
+    * `storePath`: optional NearDupStream v2 signature store over
+    * prevExactSurvivors — switches the near-dup stage's previous-corpus
+    * bucketing to pruned store reads (see IncrementalDedup). */
+  def cleanIncremental(prevExactSurvivors: DataFrame, newDocs: DataFrame,
+                       cfg: Config = Config(),
+                       idCol: String = "doc_id", textCol: String = "text",
+                       storePath: Option[String] = None)
+      : (DataFrame, StageCounts, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nIn = newDocs.count()
+    val bounds = prevExactSurvivors.agg(max(col(idCol))).collect().head
+    val newMin = newDocs.agg(min(col(idCol))).collect().head
+    if (!bounds.isNullAt(0) && !newMin.isNullAt(0)) {
+      val ordered = (bounds.get(0), newMin.get(0)) match {
+        case (a: Number, b: Number) => a.longValue() < b.longValue()
+        case (a, b) => s"$a" < s"$b"
+      }
+      require(ordered,
+        s"append-only id discipline violated: max previous id " +
+          s"${bounds.get(0)} >= min new id ${newMin.get(0)}")
+    }
+
+    // 1. exact: keep each NEW group's min id, then drop any new doc whose
+    //    text already exists among previous exact survivors (its keeper
+    //    is the smaller previous id — exactly the full run's outcome)
+    val newKeepers = Dedup.exact(newDocs, idCol, textCol)
+      .filter(col(idCol) === col("keeper")).select(idCol)
+    val prevHashes = prevExactSurvivors
+      .select(xxhash64(col(textCol)).as("text_hash")).distinct()
+    val exact = newDocs.join(newKeepers, Seq(idCol), "left_semi")
+      .join(prevHashes,
+        xxhash64(col(textCol)) === col("text_hash"), "left_anti")
+      .persist(lvl)
+    val nExact = exact.count()
+
+    // 2. near-dup: pairs touching a new doc; the larger id of every pair
+    //    is always the new side (id discipline), matching the full run's
+    //    drop-the-larger policy
+    val pairs = IncrementalDedup.incrementalNearDupPairs(
+      prevExactSurvivors, exact, cfg.minhash, idCol, textCol, storePath)
+    val drops = pairs.select(col("id_b").as(idCol)).distinct()
+    val nearDeduped = exact.join(drops, Seq(idCol), "left_anti").persist(lvl)
+    val nNear = nearDeduped.count()
+    pairs.unpersist(blocking = false)
+
+    // 3./4. quality + language — per-row filters, identical to clean()
+    val scored = TextAnalysis.qualityFeatures(nearDeduped, textCol)
+      .filter(col("quality_score") >= cfg.minQuality)
+    val cleaned = cfg.lang
+      .map(l => TextAnalysis.langGuessDf(scored, idCol, textCol)
+        .filter(col("lang_guess") === l).drop("lang_guess"))
+      .getOrElse(scored)
+      .persist(lvl)
+    val nLang = cleaned.count()
+    val nQuality = cfg.lang.map(_ => scored.count()).getOrElse(nLang)
+    nearDeduped.unpersist(blocking = false)
+
+    (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang), exact)
+  }
 }
 
 /** CLI driver:
   *
   *   spark-submit --class graft.data.CleanCorpusMain <jar> \
-  *     --input <documents parquet> --output <dir> \
+  *     --input <documents parquet[,more,…]> --output <dir> \
   *     [--min-quality 0.5] [--lang en|none] [--neardup-jaccard 0.8]
   *     [--no-oph]
+  *     [--previous <earlier run's output dir> \
+  *      --previous-input <the raw inputs that run (cumulatively) covered>]
   *
-  * Writes `<output>/cleaned` (parquet, original columns + quality
-  * features) and `<output>/stats.json` (per-stage survivor counts).
+  * Full mode writes `<output>/cleaned` (parquet, original columns +
+  * quality features), `<output>/exact_survivor_ids` (the cumulative
+  * exact-dedup survivor ids — the handle future increments dedup
+  * against) and `<output>/stats.json` (per-stage survivor counts).
+  *
+  * `--previous` is the daily-append mode (CleanCorpus.cleanIncremental):
+  * ONLY --input's new docs are cleaned, against the previous run's
+  * exact-survivor corpus (reconstructed as --previous-input semi-joined
+  * with --previous/exact_survivor_ids — ids are tiny; the raw corpus
+  * stays wherever it lives). `cleaned` holds the NEW survivors only
+  * (append it to the corpus downstream); exact_survivor_ids is written
+  * CUMULATIVE, so the next increment passes this run's --output as its
+  * --previous and a path list covering all raw inputs so far as its
+  * --previous-input. New doc ids must all exceed previous ids
+  * (append-only discipline, enforced).
   */
 object CleanCorpusMain {
   import graft.linkage.Cli
@@ -91,10 +193,13 @@ object CleanCorpusMain {
     spark.stop()
   }
 
+  private def readMulti(spark: SparkSession, paths: String): DataFrame =
+    spark.read.parquet(paths.split(",").map(_.trim).filter(_.nonEmpty): _*)
+
   def run(spark: SparkSession,
           opts: Map[String, String]): CleanCorpus.StageCounts = {
     val out = Cli.required(opts, "output")
-    val docs = spark.read.parquet(Cli.required(opts, "input"))
+    val docs = readMulti(spark, Cli.required(opts, "input"))
     val lang = opts.getOrElse("lang", "en") match {
       case "none" => None
       case l => Some(l)
@@ -105,9 +210,33 @@ object CleanCorpusMain {
       minhash = Dedup.MinHashConfig(
         jaccardThreshold = opts.getOrElse("neardup-jaccard", "0.8").toDouble,
         oph = !opts.contains("no-oph")))
-    val (cleaned, counts) = CleanCorpus.clean(docs, cfg)
-    cleaned.write.mode("overwrite").parquet(s"$out/cleaned")
-    cleaned.unpersist(blocking = false)
+
+    val counts = opts.get("previous") match {
+      case Some(prev) =>
+        val prevIds = spark.read.parquet(s"$prev/exact_survivor_ids")
+        val prevRaw = readMulti(spark,
+          Cli.required(opts, "previous-input"))
+        val prevSurv = prevRaw.join(prevIds, Seq("doc_id"), "left_semi")
+        val (cleaned, counts, newExact) =
+          CleanCorpus.cleanIncremental(prevSurv, docs, cfg)
+        cleaned.write.mode("overwrite").parquet(s"$out/cleaned")
+        cleaned.unpersist(blocking = false)
+        prevIds.select(col("doc_id"))
+          .unionByName(newExact.select(col("doc_id")))
+          .write.mode("overwrite").parquet(s"$out/exact_survivor_ids")
+        newExact.unpersist(blocking = false)
+        counts
+      case None =>
+        val (cleaned, counts) = CleanCorpus.clean(docs, cfg)
+        cleaned.write.mode("overwrite").parquet(s"$out/cleaned")
+        cleaned.unpersist(blocking = false)
+        // cumulative exact-survivor ids: one extra hash aggregate over
+        // the input — the store future --previous increments need
+        Dedup.exact(docs)
+          .filter(col("doc_id") === col("keeper")).select("doc_id")
+          .write.mode("overwrite").parquet(s"$out/exact_survivor_ids")
+        counts
+    }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
     val o = fs.create(new org.apache.hadoop.fs.Path(s"$out/stats.json"), true)

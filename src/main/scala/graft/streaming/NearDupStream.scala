@@ -65,7 +65,7 @@ object NearDupStream {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  private[streaming] def readStoreMeta(spark: SparkSession,
+  private[graft] def readStoreMeta(spark: SparkSession,
                                        storePath: String): Option[StoreMeta] = {
     val fs = hadoopFs(spark, storePath)
     val metaPath =
@@ -143,16 +143,24 @@ object NearDupStream {
     * bands×shards terms — so the scan lists and reads matched partition
     * directories exclusively (NearDupStreamSpec proves it by planting a
     * poison file in an untouched partition). */
-  private[streaming] def prunedStore(spark: SparkSession, storePath: String,
+  private[graft] def prunedStore(spark: SparkSession, storePath: String,
                                      idCol: String,
                                      idType: org.apache.spark.sql.types.DataType,
                                      touched: Seq[(Int, Int)]): DataFrame = {
     val base = spark.read.schema(storeSchema(idCol, idType))
       .parquet(s"$storePath/sigs")
+    // balanced OR tree: a left-deep reduce at bands×shards terms (512 at
+    // bands=32) overflows the Column→Expression converter's recursion
+    def orAll(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cs.length == 1) cs.head
+      else {
+        val (a, b) = cs.splitAt(cs.length / 2)
+        orAll(a) || orAll(b)
+      }
     if (touched.isEmpty) base.filter(lit(false))
-    else base.filter(touched.map { case (b, s) =>
+    else base.filter(orAll(touched.map { case (b, s) =>
       col("band") === b && col("shard") === s
-    }.reduce(_ || _))
+    }))
   }
 
   /** All admitted doc ids (deduped): reconcile/audit entry point. */
@@ -175,6 +183,32 @@ object NearDupStream {
     bucketRows(old, cfg, idCol, shards)
       .write.mode("append").partitionBy("band", "shard")
       .parquet(s"$v2Path/sigs")
+  }
+
+  /** Bootstrap a v2 store holding EVERY doc's signature — the handle
+    * batch incremental dedup (IncrementalDedup) buckets new docs
+    * against. Contrast [[nearDupBatch]], which stores admitted
+    * (near-dup-free) docs only: an incremental-dedup store must cover
+    * the whole previous corpus, duplicates included, because the
+    * full-recompute it must match generates candidates over all docs. */
+  def buildStore(docs: DataFrame, storePath: String,
+                 cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
+                 idCol: String = "doc_id", textCol: String = "text",
+                 shards: Int = DefaultShards): Unit = {
+    val spark = docs.sparkSession
+    require(readStoreMeta(spark, storePath).isEmpty,
+      s"store already exists at $storePath")
+    val sigs = {
+      val exploded = Dedup.explodedShingles(docs, idCol, textCol,
+        cfg.shingleSize)
+      if (cfg.oph) Dedup.minHashSignaturesOPH(exploded, cfg, idCol)
+      else Dedup.minHashSignatures(exploded, cfg, idCol)
+    }
+    writeStoreMeta(spark, storePath, StoreMeta(StoreVersion, cfg.numHashes,
+      cfg.bands, cfg.shingleSize, cfg.seed, cfg.oph, shards))
+    bucketRows(sigs, cfg, idCol, shards)
+      .write.mode("append").partitionBy("band", "shard")
+      .parquet(s"$storePath/sigs")
   }
 
   /** (band, shard, bucket, id, sig) store rows from a signature relation. */
