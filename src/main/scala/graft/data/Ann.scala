@@ -164,12 +164,21 @@ object Ann {
                      idCol: String = "vec_id"): Array[Array[Double]] = {
     val train = trainingSample(corpus, cfg.nCentroids, idCol)
     // deterministic init: the nCentroids rows with smallest xxhash64(id)
-    var centroids = train
+    val init = train
       .withColumn("h", xxhash64(col(idCol)))
       .orderBy(col("h")).limit(cfg.nCentroids)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    (0 until cfg.lloydIters).foreach { _ =>
+    lloyd(train, init, cfg.lloydIters)
+  }
+
+  /** Lloyd iterations from a caller-supplied starting quantizer —
+    * shared by cold training ([[trainCentroids]]) and the warm-start
+    * retrain the drift metric uses ([[ivfDrift]]). */
+  private def lloyd(train: DataFrame, init: Array[Array[Double]],
+                    iters: Int): Array[Array[Double]] = {
+    var centroids = init
+    (0 until iters).foreach { _ =>
       val assigned = assign(train, centroids)
       val means = assigned
         .select(col("centroid"), posexplode(col("embedding"))
@@ -360,6 +369,108 @@ object Ann {
       .write.mode("append").partitionBy("centroid")
       .parquet(s"$path/cells")
     spark.catalog.refreshByPath(s"$path/cells")
+  }
+
+  /** Per-partition file compaction for an appended-to index:
+    * [[appendToIvfIndex]] adds small files to touched partitions forever,
+    * and a partition's read cost degrades with its file count. Cell
+    * partitions holding more than `maxFilesPerPartition` data files are
+    * rewritten as one file each via DYNAMIC partition overwrite — only
+    * the over-threshold partitions are touched, everything else keeps
+    * its files byte-identical. Returns the number of compacted
+    * partitions. Run after append bursts or on a schedule. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerPartition: Int = 8): Int = {
+    val centroids = readIvfCentroids(spark, path)
+    requireCompatible(spark, path, centroids)
+    val cellsPath = s"$path/cells"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(cellsPath), spark.sparkContext.hadoopConfiguration)
+    val over = fs.listStatus(new org.apache.hadoop.fs.Path(cellsPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .filter(d => fs.listStatus(d.getPath).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")) >
+        maxFilesPerPartition)
+      .map(_.getPath.getName.stripPrefix("centroid=").toInt)
+      .toSeq
+    if (over.isEmpty) return 0
+    // materialize BEFORE the overwrite: the rows are read from the very
+    // partitions the write replaces (the self-overwrite class) —
+    // localCheckpoint is eager and lineage-free. repartition(centroid)
+    // lands each centroid's rows in one task → one file per partition.
+    val rows = spark.read.parquet(cellsPath)
+      .filter(col("centroid").isin(over.map(i => i: Any): _*))
+      .repartition(col("centroid"))
+      .localCheckpoint()
+    val prevMode = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      rows.write.mode("overwrite").partitionBy("centroid").parquet(cellsPath)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(rows)
+    spark.catalog.refreshByPath(cellsPath)
+    over.length
+  }
+
+  /** Assignment-shift drift: the fraction of a bounded deterministic
+    * sample of the INDEXED vectors whose nearest centroid changes when
+    * the quantizer is re-trained on the current cells — the signal that
+    * appends have moved the data distribution away from the geometry the
+    * index was built for. The retrain WARM-STARTS Lloyd from the
+    * persisted centroids (same iteration count as a build by default),
+    * so the metric isolates data movement from k-means init sensitivity
+    * (a cold re-init converges to a different local optimum even on
+    * unchanged data). The result is stamped into ivf_meta.json as
+    * {"drift": x, "driftSample": n}.
+    *
+    * Rebuild guidance: drift ≤ 0.05 is Lloyd polish noise; past ~0.15 a
+    * meaningful share of vectors live in the wrong cell and nProbe
+    * recall decays — rebuild with writeIvfIndex. */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+               lloydIters: Int = 3): Double = {
+    val centroids = readIvfCentroids(spark, path)
+    requireCompatible(spark, path, centroids)
+    val cells = spark.read.parquet(s"$path/cells")
+    val idCol = cells.columns
+      .find(c => c != "centroid" && c != "embedding")
+      .getOrElse(throw new IllegalStateException(
+        s"cells table at $path has no id column: " +
+          cells.columns.mkString(", ")))
+    val sample = trainingSample(cells.select(col(idCol), col("embedding")),
+      centroids.length, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val retrained = lloyd(sample, centroids, lloydIters)
+    // one shuffle-free pass: both assignments are per-row expressions
+    val drift = sample
+      .select((gf.nearest_centroid(col("embedding"), centroids) =!=
+        gf.nearest_centroid(col("embedding"), retrained))
+        .cast("double").as("moved"))
+      .agg(avg(col("moved")), count(lit(1))).collect().head
+    val (frac, n) = (drift.getDouble(0), drift.getLong(1))
+    sample.unpersist(blocking = false)
+    stampMeta(spark, path, Map("drift" -> frac.toString,
+      "driftSample" -> n.toString))
+    frac
+  }
+
+  /** Merge numeric fields into ivf_meta.json, preserving the stamp. */
+  private def stampMeta(spark: org.apache.spark.sql.SparkSession,
+                        path: String, extra: Map[String, String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/ivf_meta.json")
+    val in = fs.open(p)
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(txt)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    extra.foreach { case (k, v) => node.put(k, v.toDouble) }
+    val out = fs.create(p, true)
+    out.write((mapper.writeValueAsString(node) + "\n").getBytes("UTF-8"))
+    out.close()
   }
 
   /** Top-k against a persisted index: only the probed cell partitions

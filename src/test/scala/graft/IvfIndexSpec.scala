@@ -142,6 +142,52 @@ class IvfIndexSpec extends AnyFunSuite with SparkFixture {
     assert(e3.getMessage.contains("ivf_meta"))
   }
 
+  test("append bursts compact to bounded files/partition; drift stamped") {
+    indexReady
+    import spark.implicits._
+    // six appends of lobe-3 vectors: the touched partitions accumulate
+    // one small file per append on top of the build's files
+    (0 until 6).foreach { j =>
+      val v = Seq((20000L + j,
+        Array.tabulate(64)(d => if (d / 16 == 3) 1.0f else 0.002f * j)))
+        .toDF("vec_id", "embedding")
+      Ann.appendToIvfIndex(v, dir)
+    }
+    def filesPerPartition: Map[String, Int] =
+      new java.io.File(s"$dir/cells").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerPartition
+    assert(before.values.exists(_ > 3),
+      s"append burst should exceed the file threshold: $before")
+    val q = queries.limit(2)
+    val preCompact = Ann.ivfTopKIndexed(spark, dir, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    val compacted = Ann.compactIvfIndex(spark, dir, maxFilesPerPartition = 3)
+    assert(compacted > 0)
+    val after = filesPerPartition
+    assert(after.values.forall(_ <= 3),
+      s"files/partition still above bound after compaction: $after")
+    // untouched partitions keep their exact file sets; results unchanged
+    val postCompact = Ann.ivfTopKIndexed(spark, dir, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(postCompact == preCompact, "compaction changed query results")
+    assert(Ann.compactIvfIndex(spark, dir, maxFilesPerPartition = 3) == 0,
+      "second compaction must be a no-op")
+
+    // drift: warm-start retrain assignment shift, stamped into the meta
+    val drift = Ann.ivfDrift(spark, dir)
+    assert(drift >= 0.0 && drift <= 1.0, s"drift out of range: $drift")
+    val meta = spark.read.json(s"$dir/ivf_meta.json").collect().head
+    assert(meta.getAs[Double]("drift") == drift)
+    assert(meta.getAs[Double]("driftSample") > 0)
+    // the stamp preserved the fingerprint (reads still validate)
+    assert(Ann.readIvfCentroids(spark, dir).length == 8)
+    Ann.ivfTopKIndexed(spark, dir, q, k = 1, nProbe = 2).collect()
+  }
+
   test("probe kernel survives NaN embeddings (array_sort-parity order)") {
     import spark.implicits._
     // NaN distances make every `<` comparison false: the selection loop
