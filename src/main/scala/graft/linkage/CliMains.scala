@@ -131,6 +131,17 @@ object GarbleMain {
     val dirs = Garble.garbleFlow(records,
       Cli.required(opts, "schemadir"), secret, out, meta, garbleTime,
       exactCrypto = opts.contains("exact-crypto"))
+    // the ClkCrypto caveat, surfaced at the CLI (VERDICT r04 #7): the
+    // blake2b/HKDF primitives are RFC-vector-tested, but byte parity of
+    // the CLK COMPOSITION (field keys → bigrams → k bit indices) with
+    // anonlink/clkhash has no offline ground-truth vector — a user about
+    // to exchange zips with a real CODI linkage agent must know
+    if (opts.contains("exact-crypto"))
+      println("[graft] NOTE: --exact-crypto CLKs use RFC-vector-tested " +
+        "blake2b/HKDF primitives, but the CLK composition is NOT " +
+        "certified byte-compatible with anonlink/clkhash — cross-validate " +
+        "against the agent's clkhash output before exchanging encodings " +
+        "(SURVEY.md §7.5)")
     println(s"[graft] garble complete: ${dirs.size} schema(s) → $out.zip")
     dirs
   }
@@ -183,20 +194,10 @@ object BlockMain {
     require(clkTables.nonEmpty, s"no CLK table dirs under $clkPath")
 
     clkTables.foreach { dir =>
-      // positional identity precondition: withScanPosition is only
-      // well-defined over ONE file (multi-part scans order splits by
-      // size, not name — record_index would silently diverge from the
-      // member order a zip consumer sees). writeClksJson guarantees
-      // this; refuse foreign sharded tables instead of mis-numbering.
-      val dataFiles = fs.listStatus(dir)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-      require(dataFiles.length == 1,
-        s"CLK table $dir has ${dataFiles.length} data files; positional " +
-          "record identity needs exactly one (re-export with writeClksJson)")
-      val clks = spark.read.json(dataFiles.head.getPath.toString)
-        .select(unbase64(col("clks")).as("clk"))
-      val indexed = Positions.withScanPosition(clks, "record_index")
+      // Garble.readClks yields the wire-positional (record_index, clk)
+      // pairs — array order for the single-doc wire format, scan order
+      // (single-file-guarded) for legacy JSONL tables
+      val indexed = Garble.readClks(spark, dir.toString)
         .withColumnRenamed("record_index", "conv_id")
       val blocks = Garble.lambdaBlocks(indexed,
           lambda = p.lambda, k = p.k, seed = p.seed)

@@ -84,31 +84,87 @@ object Garble {
         col("household_street_address"), col("household_zip")).as("clk"))
   }
 
-  /** CLK JSON sink (S8): {"clks": ["<base64>", …]} — ONE json file.
+  /** CLK JSON sink (S8): ONE file holding ONE JSON document
+    * {"clks": ["<base64>", …]} — the reference's literal wire shape
+    * (garble.py writes a single json doc; validate_clks does
+    * json.load(f) then len(data["clks"]), garble.py:63–74), so this
+    * export is parseable by the reference consumer as-is.
     *
-    * Single-file is load-bearing, not a convenience: the CLK wire format
-    * is positional (no record id — downstream blocking and the linkage
-    * agent identify a record by its row index), and Spark's file scan
-    * orders multi-part reads by SPLIT SIZE descending, not by part-file
-    * name, so a sharded CLK table read back for blocking could number
-    * records differently from the name-ordered member sequence a zip
-    * consumer sees — silently mis-mapping every LINK_ID→PATID
-    * resolution. coalesce(1) concatenates the narrow projection's
-    * partitions in index order, preserving the pii source-row order end
-    * to end. (The reference's own format is one JSON doc consumed by a
-    * single-node agent, so one file IS the wire shape — scale the
-    * linkage itself, not this export.) */
+    * Single-file/single-doc is load-bearing, not a convenience: the CLK
+    * wire format is positional (no record id — downstream blocking and
+    * the linkage agent identify a record by its index in the array), so
+    * the array order must equal the pii source-row order end to end.
+    * The encode runs at FULL parallelism and is materialized first (a
+    * driver-funnelled plan would run the whole CLK hash — 4.5× costlier
+    * on the blake2b path — on one core); the driver then streams the
+    * cached partitions out in partition-index order, one partition in
+    * memory at a time. The export is driver-IO-bound BY the wire format
+    * itself — the reference consumer is a single-node agent doing
+    * json.load; scale the linkage, not this export. Spark's base64 is
+    * MIME-chunked (CRLF every 76 chars); the chunking is stripped so the
+    * emitted strings are plain single-line base64 — raw CRLF inside a
+    * JSON string literal would not be valid JSON. */
   def writeClksJson(clksDf: DataFrame, path: String): Unit = {
-    // materialize the encode at FULL parallelism first — a bare
-    // coalesce(1) propagates up the lazy plan and would run the whole
-    // CLK hash (4.5× costlier on the blake2b path) on one core; the
-    // single-file write then just drains cached partitions in index
-    // order, preserving the source-row order
-    val b64 = clksDf.select(base64(col("clk")).as("clks"))
+    val spark = clksDf.sparkSession
+    val b64 = clksDf.select(
+      regexp_replace(base64(col("clk")), "[\\r\\n]", "").as("clks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b64.count()
-    b64.coalesce(1).write.mode("overwrite").json(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    // member file named after the table dir: zipDirectory flattens member
+    // names, so per-schema dirs must yield distinct entries in the zip
+    val out = new java.io.BufferedOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(dirPath, s"${dirPath.getName}.json"),
+      true), 1 << 20)
+    out.write("""{"clks": [""".getBytes("UTF-8"))
+    val it = b64.toLocalIterator() // partition-index order = source order
+    var first = true
+    while (it.hasNext) {
+      if (!first) out.write(',')
+      out.write('"')
+      out.write(it.next().getString(0).getBytes("UTF-8"))
+      out.write('"')
+      first = false
+    }
+    out.write("]}".getBytes("UTF-8"))
+    out.close()
     b64.unpersist(blocking = false)
+  }
+
+  /** Read a CLK table back as (record_index, clk) with record_index the
+    * record's 0-based wire position — the positional identity blocking
+    * and LINK_ID resolution key on. Handles both layouts:
+    *  - the wire format [[writeClksJson]] emits (one {"clks": [...]}
+    *    document): positions come from the ARRAY order, exact by
+    *    construction;
+    *  - legacy JSONL tables (one {"clks": "<b64>"} object per line):
+    *    positions are scan order, well-defined only over ONE file —
+    *    multi-part scans order splits by size, not name, so sharded
+    *    foreign tables are refused rather than silently mis-numbered. */
+  def readClks(spark: SparkSession, dir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    require(dataFiles.length == 1,
+      s"CLK table $dir has ${dataFiles.length} data files; positional " +
+        "record identity needs exactly one (re-export with writeClksJson)")
+    val raw = spark.read.json(dataFiles.head.getPath.toString)
+    raw.schema("clks").dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        raw.select(posexplode(col("clks")).as(Seq("record_index", "b64")))
+          .select(col("record_index").cast("long"),
+            unbase64(col("b64")).as("clk"))
+      case _ =>
+        Positions.withScanPosition(
+            raw.select(unbase64(col("clks")).as("clk")), "record_index")
+          .select(col("record_index"), col("clk"))
+    }
   }
 
   /** λ-fold block keys (block.py:41–44 + lambda.json): (conv_id,
@@ -188,7 +244,7 @@ object Garble {
       val encoded = if (exactCrypto) clksExact(records, schema, secret)
                     else clks(records, schema, secret)
       writeClksJson(encoded, dir)
-      val written = spark.read.json(dir).count()
+      val written = readClks(spark, dir).count()
       expected.foreach(e => require(written == e,
         s"Expected $e in $dir, found $written"))
       dir

@@ -70,7 +70,7 @@ class CliMainsSpec extends AnyFunSuite with SparkFixture {
       "secretfile" -> s"$base/secret.txt",
       "output" -> s"$base/garbled"))
     assert(dirs.size == 1)
-    assert(spark.read.json(dirs.head).count() == 2)
+    assert(Garble.readClks(spark, dirs.head).count() == 2)
     val meta = Extract.readMetadata(spark, s"$base/garbled/metadata.json")
     assert(meta.contains("garble_time"))
     assert(meta("number_of_records") == "2")
@@ -211,20 +211,55 @@ class CliMainsSpec extends AnyFunSuite with SparkFixture {
       "secretfile" -> s"$base/ec/secret.txt")
     val fast = GarbleMain.run(spark,
       common + ("output" -> s"$base/ec/garbled-fast"))
-    val exact = GarbleMain.run(spark,
-      common + ("output" -> s"$base/ec/garbled-exact",
-        "exact-crypto" -> "true"))
-    val f = spark.read.json(fast.head).orderBy("clks").collect()
-      .map(_.getString(0))
-    val e = spark.read.json(exact.head).orderBy("clks").collect()
-      .map(_.getString(0))
+    // --exact-crypto must print the uncertified-composition caveat
+    // (VERDICT r04 #7): capture the CLI's stdout
+    val buf = new java.io.ByteArrayOutputStream()
+    val exact = Console.withOut(new java.io.PrintStream(buf)) {
+      GarbleMain.run(spark,
+        common + ("output" -> s"$base/ec/garbled-exact",
+          "exact-crypto" -> "true"))
+    }
+    assert(buf.toString.contains("NOT certified byte-compatible"),
+      s"missing crypto-interop caveat in CLI output:\n$buf")
+    val f = Garble.readClks(spark, fast.head).collect()
+      .map(r => r.getAs[Array[Byte]]("clk").toSeq)
+    val e = Garble.readClks(spark, exact.head).collect()
+      .map(r => r.getAs[Array[Byte]]("clk").toSeq)
     assert(f.length == 2 && e.length == 2)
-    // same 4096-bit envelope (base64 of 512 bytes — Spark's base64 is
-    // MIME-chunked with CRLF line breaks), different encodings
-    assert(e.forall(s =>
-      java.util.Base64.getMimeDecoder.decode(s).length == 512))
+    // same 4096-bit envelope, different encodings
+    assert(e.forall(_.length == 512))
     assert(f.toSet != e.toSet,
       "blakeHash CLKs must differ from the murmur stand-in's")
+  }
+
+  test("CLK export is ONE reference-parseable JSON document") {
+    import spark.implicits._
+    // the wire shape garble.py's validate_clks json.load()s: a single
+    // {"clks": [...]} doc, plain single-line base64, array order = source
+    // row order
+    val recs = Seq(("r0", "AAA"), ("r1", "BBB"), ("r2", "CCC"))
+      .toDF("conv_id", "given_name")
+    val clks = Garble.clks(recs,
+      Garble.ClkSchema(Seq("given_name")), "0123456789abcdef0123456789abcdef")
+    Garble.writeClksJson(clks, s"$base/wire/clktab")
+    val files = new java.io.File(s"$base/wire/clktab")
+      .listFiles.filter(_.isFile).filterNot(_.getName.startsWith("."))
+    assert(files.length == 1 && files.head.getName == "clktab.json")
+    // a strict JSON parser (jackson ~ python json.load) must accept it
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      files.head.toPath), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    assert(node.has("clks") && node.get("clks").isArray &&
+      node.get("clks").size() == 3)
+    val arr = (0 until 3).map(node.get("clks").get(_).asText())
+    assert(arr.forall(s => !s.contains("\n") && !s.contains("\r")),
+      "base64 entries must be single-line (raw CRLF is invalid JSON)")
+    // round-trip: array order == source order == readClks record_index
+    val back = Garble.readClks(spark, s"$base/wire/clktab")
+      .orderBy("record_index").collect()
+      .map(r => r.getAs[Array[Byte]]("clk").toSeq)
+    val direct = clks.collect().map(r => r.getAs[Array[Byte]]("clk").toSeq)
+    assert(back.toSeq == direct.toSeq, "wire order diverged from source order")
   }
 
   test("AnalyzeMain: pii csv → aggregate + private report files") {

@@ -113,7 +113,7 @@ class PipelineModesSpec extends AnyFunSuite with SparkFixture {
     val n = LinkageMain.householdDefFlow(spark, defCsv, out,
       Some("0123456789abcdef0123456789abcdef"))
     assert(n == 2)
-    assert(spark.read.json(s"$out/household_clks").count() == 2)
+    assert(Garble.readClks(spark, s"$out/household_clks").count() == 2)
     val meta = Extract.readMetadata(spark, s"$out/households_metadata.json")
     assert(meta("households_inferred") == "false")
     assert(meta("number_of_households") == "2")

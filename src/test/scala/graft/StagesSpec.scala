@@ -223,7 +223,7 @@ class StagesSpec extends AnyFunSuite with SparkFixture {
     val clkDirs = Garble.garbleFlow(records, schemaDir, secret, outDir,
       meta, garbleTime = "2026-08-16T00:00:00")
     assert(clkDirs.size == 2)
-    clkDirs.foreach(d => assert(spark.read.json(d).count() == 2))
+    clkDirs.foreach(d => assert(Garble.readClks(spark, d).count() == 2))
     val metaBack = Extract.readMetadata(spark, s"$outDir/metadata.json")
     assert(metaBack("garble_time") == "2026-08-16T00:00:00")
     assert(metaBack("number_of_records") == "2")
