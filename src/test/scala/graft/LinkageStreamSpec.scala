@@ -106,6 +106,25 @@ class LinkageStreamSpec extends AnyFunSuite with SparkFixture {
     all.unpersist()
   }
 
+  test("soak: per-trigger log writes stay O(batch) as the store grows") {
+    val triggers = graft.streaming.LinkageSoak.run(spark,
+      s"$dir/soak", nConvs = 500, nBatches = 5)
+    assert(triggers.length == 5)
+    // the delta-log regression bound: every trigger appends exactly its
+    // own conversations to records_log — never the cumulative corpus
+    triggers.foreach(t =>
+      assert(t.recordsAppended == t.batchConvs,
+        s"batch ${t.batch} appended ${t.recordsAppended} rows for " +
+          s"${t.batchConvs} convs"))
+    // appended volume is flat across the soak (equal-hash batches) even
+    // though the store grows ~5x — the O(corpus)-write regression class
+    val appended = triggers.map(_.recordsAppended.toDouble)
+    assert(appended.max <= 2.5 * appended.min,
+      s"per-trigger append volume grew with the store: $appended")
+    assert(triggers.map(_.cumRecords) == triggers.map(_.cumRecords).sorted)
+    assert(triggers.last.cumRecords == triggers.map(_.recordsAppended).sum)
+  }
+
   test("v1 stores are refused loudly and migrate in place") {
     import spark.implicits._
     val cfg = SynthTranscripts.Config(seed = 21L, nConvs = 80)
