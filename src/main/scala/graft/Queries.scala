@@ -415,6 +415,29 @@ object Queries {
           round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // INCREMENTAL near-dup pairs (the daily-append dedup path,
+    // IncrementalDedup): the planted garbles arrive as the NEW slice
+    // against the full documents table as the previous corpus —
+    // candidates restricted to pairs touching a new doc, exact verify
+    // over new shingles + candidate-touched old docs only. Equivalence
+    // with the full run is the path's contract (IncrementalDedupSpec),
+    // so the expected output is the SAME planted-pair oracle the
+    // full-corpus q_minhash_neardups verifies against.
+    "q_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") < 50 &&
+          size(split(trim(col("text")), "\\s+")) >= 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" PLANTEDMARKER")).as("text"))
+      graft.data.IncrementalDedup.incrementalNearDupPairs(docs, planted,
+        graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.5))
+        .filter(col("id_a") < 50 && col("id_b") === col("id_a") + 100000)
+        .orderBy(col("id_a"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
+          .as("jaccard"))
+    }),
+
     // Near-dup CLUSTERS (pair discovery + large-star/small-star CC +
     // singleton fill) — same recall-proof planted construction as
     // q_minhash, extended to CHAINS: base → base+" PLANTEDMARKER" →
@@ -990,6 +1013,12 @@ object Queries {
     // one via standard k=64 signatures over the full corpus, one via OPH
     // over the family — so they share one oracle definition
     "q_minhash_oph" -> plantedPairsOracle,
+
+    // and the incremental path must surface the SAME pairs again —
+    // equivalence with the full run is its contract, so a third query
+    // shares the definition: any divergence between the incremental
+    // candidate/verify plumbing and the full pipeline turns this row red
+    "q_neardup_incremental" -> plantedPairsOracle,
 
     "q_neardup_clusters" ->
       """WITH RECURSIVE
