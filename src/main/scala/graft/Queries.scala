@@ -430,8 +430,16 @@ object Queries {
           size(split(trim(col("text")), "\\s+")) >= 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" PLANTEDMARKER")).as("text"))
+      // oph=true: the previous side is the FULL corpus, so this query
+      // pays a corpus-wide signature pass — at the 1-hash/shingle OPH
+      // config (the signature path a production increment would run; 64
+      // hashes/shingle benched 8.3 s vs ~4 s here at sf0.1). Oracle
+      // validity is unchanged: the oracle checks exact Jaccard of the
+      // planted pairs, and OPH banding recall on this ≥48-shingle family
+      // is the property q_minhash_oph already value-certifies.
       graft.data.IncrementalDedup.incrementalNearDupPairs(docs, planted,
-        graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.5))
+        graft.data.Dedup.MinHashConfig(bands = 8, jaccardThreshold = 0.5,
+          oph = true))
         .filter(col("id_a") < 50 && col("id_b") === col("id_a") + 100000)
         .orderBy(col("id_a"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4)
@@ -516,6 +524,29 @@ object Queries {
       graft.data.Ann.ivfTopKFixed(e, queries, k = 5, centroids, nProbe = 2)
         .select(col("query_id"), col("vec_id"), col("rank"),
           round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product-quantization ANN with FIXED data-row codebooks (no Lloyd)
+    // — the cross-engine-checkable PQ path: codebook[m][k] = the m-th
+    // 16-dim slice of corpus vector k (k < 4, M = 4 subspaces), so
+    // encode (argmin L2 per subspace, lowest-k ties), the per-query ADC
+    // lookup table, the table-lookup distance (per-subspace subtotals
+    // added in ascending-m order — nested list_sum in the DuckDB
+    // replica) and the (adc, vec_id) ranking are recomputed end-to-end
+    // in SQL. Trained codebooks stay spec-covered (PqSpec): Lloyd means
+    // are engine-ordered FP sums, the same boundary as IVF.
+    "q_ann_pq_fixed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val rows = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cb = Array.tabulate(4)(m => rows.map(_.slice(m * 16, m * 16 + 16)))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.data.Pq.adcTopK(graft.data.Pq.encode(e, cb), queries, k = 5, cb)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("adc"), 4).as("adc"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -723,6 +754,46 @@ object Queries {
            FROM scored)
        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
               round(cos, 4) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Fixed-codebook PQ: codebooks are slices of DATA rows (vec_id < 4),
+    // so encode, LUT, ADC and ranking replay in SQL. The inner list_sum
+    // is one subspace's left-to-right sub-distance (== the kernel's LUT
+    // entry); list_sum over list(d ORDER BY m) adds the M subtotals in
+    // ascending-m order (== VecOps.pqAdc's accumulator) — bit-identical.
+    "q_ann_pq_fixed" ->
+      """WITH subs AS (SELECT unnest(generate_series(0, 3)) AS m),
+         cb AS (
+           SELECT s.m, e.vec_id AS k,
+                  [CAST(e.embedding[s.m*16 + j] AS DOUBLE)
+                   FOR j IN generate_series(1, 16)] AS vec
+           FROM embeddings e CROSS JOIN subs s
+           WHERE e.vec_id < 4),
+         dists AS (
+           SELECT e.vec_id, c.m, c.k,
+             list_sum([(CAST(e.embedding[c.m*16 + j] AS DOUBLE) - c.vec[j]) *
+                       (CAST(e.embedding[c.m*16 + j] AS DOUBLE) - c.vec[j])
+                       FOR j IN generate_series(1, 16)]) AS d
+           FROM embeddings e CROSS JOIN cb c),
+         codes AS (
+           SELECT vec_id, m, k FROM (
+             SELECT vec_id, m, k,
+                    row_number() OVER (PARTITION BY vec_id, m
+                      ORDER BY d, k) AS rn
+             FROM dists) WHERE rn = 1),
+         adc AS (
+           SELECT qd.vec_id AS query_id, c.vec_id,
+                  list_sum(list(qd.d ORDER BY c.m)) AS adc
+           FROM codes c JOIN dists qd ON qd.m = c.m AND qd.k = c.k
+           WHERE qd.vec_id < 5
+           GROUP BY qd.vec_id, c.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc, vec_id) AS rank
+           FROM adc)
+       SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+              round(adc, 4) AS adc
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_topn_counts" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders

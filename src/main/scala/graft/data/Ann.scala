@@ -175,8 +175,8 @@ object Ann {
   /** Lloyd iterations from a caller-supplied starting quantizer —
     * shared by cold training ([[trainCentroids]]) and the warm-start
     * retrain the drift metric uses ([[ivfDrift]]). */
-  private def lloyd(train: DataFrame, init: Array[Array[Double]],
-                    iters: Int): Array[Array[Double]] = {
+  private[data] def lloyd(train: DataFrame, init: Array[Array[Double]],
+                          iters: Int): Array[Array[Double]] = {
     var centroids = init
     (0 until iters).foreach { _ =>
       val assigned = assign(train, centroids)
@@ -311,8 +311,8 @@ object Ann {
   /** Bumped whenever the cell layout or quantizer semantics change. */
   val IndexVersion = 1
 
-  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
-                           file: String, content: String): Unit = {
+  private[data] def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+                                 file: String, content: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(file), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(file), true)

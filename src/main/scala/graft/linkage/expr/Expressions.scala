@@ -178,6 +178,106 @@ object VecOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Product-quantization encode: code[m] = argmin_k L2²(v_sub_m,
+    * codebook[m][k]) over the m-th contiguous subspace slice, lowest-k
+    * tie-break (strict < with ascending scan — same discipline as
+    * [[nearestCentroid]]). Subspace widths follow the codebook (they may
+    * be unequal when dims % M != 0); missing/null vector elements read
+    * as 0.0. */
+  def pqEncode(a: org.apache.spark.sql.catalyst.util.ArrayData,
+               codebooks: Array[Array[Array[Double]]], aFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = if (cb.isEmpty) 0 else cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val cen = cb(k)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val i = off + j
+          val x = (if (i >= a.numElements() || a.isNullAt(i)) 0.0
+                   else if (aFloat) a.getFloat(i).toDouble
+                   else a.getDouble(i)) - cen(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(s) = best
+      off += dsub
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table, flattened [m·K + k] → L2²(q_sub_m,
+    * codebook[m][k]). Each entry is a left-to-right sum over the
+    * subspace dims; [[pqAdc]] then adds entries in ascending-m order, so
+    * the total matches a per-subspace-subtotal-then-add accumulation — a
+    * DuckDB oracle reproduces it with nested list_sum. Computed ONCE per
+    * query row (before the candidate join), making the per-pair distance
+    * O(M) table lookups instead of O(dims). */
+  def pqLut(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            codebooks: Array[Array[Array[Double]]], aFloat: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = codebooks.length
+    val kk = if (m == 0) 0 else codebooks(0).length
+    val out = new Array[Double](m * kk)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = if (cb.isEmpty) 0 else cb(0).length
+      var k = 0
+      while (k < cb.length) {
+        val cen = cb(k)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val i = off + j
+          val x = (if (i >= a.numElements() || a.isNullAt(i)) 0.0
+                   else if (aFloat) a.getFloat(i).toDouble
+                   else a.getDouble(i)) - cen(j)
+          d += x * x
+          j += 1
+        }
+        out(s * kk + k) = d
+        k += 1
+      }
+      off += dsub
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance computation from a flattened LUT and a PQ code:
+    * sum over subspaces (ascending m) of lut[m·K + code[m]]. */
+  def pqAdc(lut: org.apache.spark.sql.catalyst.util.ArrayData,
+            code: org.apache.spark.sql.catalyst.util.ArrayData,
+            k: Int): Double = {
+    val m = code.numElements()
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      if (!code.isNullAt(s)) {
+        val idx = s * k + code.getInt(s)
+        if (idx < lut.numElements() && !lut.isNullAt(idx))
+          d += lut.getDouble(idx)
+      }
+      s += 1
+    }
+    d
+  }
+
   /** Count of equal slots between two long-array signatures (the
     * MinHash estimated-Jaccard numerator). Length mismatch: unmatched
     * slots of the longer array count as disagreement, matching the
@@ -281,6 +381,80 @@ case class NearestCentroids(child: Expression,
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
+}
+
+/** Product-quantization encode: array<float|double> embedding → M-byte
+  * code (array<int>, one sub-centroid index per subspace). The codebook
+  * tensor rides as a REFERENCE OBJECT (M×K×dsub doubles once per task),
+  * the same discipline as [[NearestCentroid]] — at the standard M=8,
+  * K=256, 64-dim shape that's 128 KB of codebook per task versus 256
+  * bytes/row of raw vector replaced by 8 bytes/row of code on disk. */
+case class PqEncodeExpr(child: Expression,
+                        codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.pqEncode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebooks, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.linkage.expr.VecOps.pqEncode($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Per-query flattened ADC lookup table (array<double> of M·K
+  * sub-distances) — computed once per QUERY row, before the candidate
+  * join, so the per-candidate distance ([[PqAdcExpr]]) is M table
+  * lookups instead of an O(dims) scan. */
+case class PqLutExpr(child: Expression,
+                     codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.pqLut(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      codebooks, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.linkage.expr.VecOps.pqLut($c, $ref, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** ADC distance: sum over subspaces of lut[m·K + code[m]] (K = codebook
+  * size, fixed at plan time). */
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecOps.pqAdc(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.linkage.expr.VecOps.pqAdc($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Count of agreeing slots between two array<long> MinHash signatures —

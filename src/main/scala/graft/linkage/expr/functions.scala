@@ -23,6 +23,12 @@ object functions {
     col_(NearestCentroids(expr_(emb), centroids, nProbe))
   def sig_agreement(a: Column, b: Column): Column =
     col_(SigAgreement(expr_(a), expr_(b)))
+  def pq_encode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    col_(PqEncodeExpr(expr_(emb), codebooks))
+  def pq_lut(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    col_(PqLutExpr(expr_(emb), codebooks))
+  def pq_adc(lut: Column, code: Column, codebookSize: Int): Column =
+    col_(PqAdcExpr(expr_(lut), expr_(code), codebookSize))
   def clk_encode(secretSeed: Int, fields: Column*): Column =
     col_(ClkEncode(fields.map(expr_), secretSeed))
   def clk_encode_blake(secretHex: String, fields: Column*): Column =
