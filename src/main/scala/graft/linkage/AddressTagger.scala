@@ -39,6 +39,17 @@ object AddressTagger {
     "ROOM", "BLDG", "BUILDING", "LOT", "TRLR", "TRAILER", "DEPT",
     "SPC", "SPACE", "BSMT", "PH", "HNGR", "SLIP", "#")
 
+  /** USPS Pub 28 Appendix C2 designators that appear WITHOUT a
+    * secondary number (BSMT/FRNT/LBBY/LOWR/OFC/PH/REAR/SIDE/UPPR, plus
+    * spelled-out forms): usaddress tags the bare trailing token
+    * OccupancyType with no OccupancyIdentifier → prefix set, value
+    * empty. Promoted from the coverage-boundary negatives (the former
+    * "12 ELM ST REAR" divergence). */
+  val NoIdOccupancy: Seq[String] = Seq(
+    "BSMT", "BASEMENT", "FRNT", "FRONT", "LBBY", "LOBBY", "LOWR",
+    "LOWER", "OFC", "OFFICE", "PH", "PENTHOUSE", "REAR", "SIDE",
+    "UPPR", "UPPER")
+
   /** Pre-directionals — usaddress tags them StreetNamePreDirectional,
     * which addr_parse ignores, so they vanish from every field. */
   val Directionals: Seq[String] = Seq(
@@ -66,19 +77,23 @@ object AddressTagger {
       "^(HC|RR|RT|RURAL ROUTE|STAR ROUTE|P ?O BOX|POB) [0-9]+( BOX [0-9A-Z]+)?$" +
         "|^P ?O BOX [0-9A-Z]+$")
 
-    // occupancy: trailing "<TYPE> <id>" pair, or a trailing "#<id>"
+    // occupancy: trailing "<TYPE> <id>" pair, a trailing "#<id>", or a
+    // bare trailing no-number designator (USPS C2: REAR/BSMT/UPPR/…)
     val last = element_at(toks, -1)
     val secondLast = when(n >= 2, element_at(toks, -2)).otherwise(lit(""))
     val occPair = n >= 2 && secondLast.isin(OccupancyLexicon: _*)
     val occHash = !occPair && last.rlike("^#.+")
+    val occSolo = !occPair && !occHash && last.isin(NoIdOccupancy: _*)
     val prefix = when(occPair, secondLast)
-      .when(occHash, lit("#")).otherwise(lit(""))
+      .when(occHash, lit("#"))
+      .when(occSolo, last).otherwise(lit(""))
     val value = when(occPair, last)
       .when(occHash, regexp_replace(last, "^#", "")).otherwise(lit(""))
 
     // street body = tokens between the number and the occupancy block
     val startIdx = when(hasNum, 2).otherwise(lit(1))
-    val dropEnd = when(occPair, 2).when(occHash, 1).otherwise(lit(0))
+    val dropEnd = when(occPair, 2).when(occHash || occSolo, 1)
+      .otherwise(lit(0))
     val bodyLen = greatest(n - dropEnd - (startIdx - 1), lit(0))
     val body0 = slice(toks, startIdx, bodyLen)
     val body = when(size(body0) >= 2 &&

@@ -72,23 +72,43 @@ class AddressTaggerSpec extends AnyFunSuite with SparkFixture {
     assert(scoreRaw("N100W200 COUNTY ROAD", "N100W200 COUNTY ROAD") == 1.0)
   }
 
+  test("no-number occupancy designators tag like the CRF (USPS C2 set)") {
+    // usaddress tags a bare trailing REAR/BSMT/UPPR/… OccupancyType with
+    // no OccupancyIdentifier → prefix set, value empty (promoted from
+    // the former coverage-boundary negative)
+    assert(tagOne("12 ELM ST REAR") ==
+      Map("number" -> "12", "street" -> "ELM", "suffix" -> "ST",
+        "prefix" -> "REAR", "value" -> ""))
+    assert(tagOne("40 OAK AVE BSMT") ==
+      Map("number" -> "40", "street" -> "OAK", "suffix" -> "AVE",
+        "prefix" -> "BSMT", "value" -> ""))
+    assert(tagOne("7 HILL RD UPPER") ==
+      Map("number" -> "7", "street" -> "HILL", "suffix" -> "RD",
+        "prefix" -> "UPPER", "value" -> ""))
+    // the WITH-id form of the same designator still pairs (PH 2)
+    assert(tagOne("9 LAKE DR PH 2") ==
+      Map("number" -> "9", "street" -> "LAKE", "suffix" -> "DR",
+        "prefix" -> "PH", "value" -> "2"))
+    assert(scoreRaw("12 ELM ST REAR", "12 ELM ST REAR") == 1.0)
+  }
+
   test("coverage boundary: addresses the rule grammar mis-tags vs the CRF") {
     // The lexicon'd grammar covers the common ~95% and the calibration
-    // exemplars; these cases document where it still DIVERGES from
-    // usaddress (matching.py:34–59) and why that is accepted: both sides
-    // of a pair are tagged by the SAME grammar, the whole-string JW floor
-    // (matching.py:245–248) still scores the raw strings, and the shapes
-    // below are rare in normalized PII feeds.
+    // exemplars; this documents where it still DIVERGES from usaddress
+    // (matching.py:34–59) and why that is accepted: both sides of a pair
+    // are tagged by the SAME grammar, the whole-string JW floor
+    // (matching.py:245–248) still scores the raw strings, and the shape
+    // below is genuinely malformed input.
     //
-    // OccupancyType with NO identifier: usaddress tags REAR as
-    // OccupancyType (prefix=REAR, value=""); the grammar's trailing
-    // "<TYPE> <id>" pair rule needs an id, so REAR leaks into the street
-    // body and wins the last-token street slot.
-    assert(tagOne("12 ELM ST REAR") ==
-      Map("number" -> "12", "street" -> "REAR", "suffix" -> "",
+    // A TRUNCATED "<TYPE>" with its id missing, for a designator that
+    // REQUIRES a secondary number (USPS C2): "APT" bare is not in the
+    // no-id set, the pair rule needs an id, so it leaks into the street
+    // slot. usaddress would still call it OccupancyType.
+    assert(tagOne("205 GARDEN ST APT") ==
+      Map("number" -> "205", "street" -> "APT", "suffix" -> "",
         "prefix" -> "", "value" -> ""))
     // symmetric treatment keeps identical strings at 1.0 regardless
-    assert(scoreRaw("12 ELM ST REAR", "12 ELM ST REAR") == 1.0)
+    assert(scoreRaw("205 GARDEN ST APT", "205 GARDEN ST APT") == 1.0)
   }
 
   private def scoreRaw(a: String, b: String): Double = {
