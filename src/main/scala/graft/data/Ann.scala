@@ -383,7 +383,15 @@ object Ann {
                       maxFilesPerPartition: Int = 8): Int = {
     val centroids = readIvfCentroids(spark, path)
     requireCompatible(spark, path, centroids)
-    val cellsPath = s"$path/cells"
+    compactCells(spark, s"$path/cells", maxFilesPerPartition)
+  }
+
+  /** Layout-generic compaction core over a centroid-partitioned cells
+    * dir — shared by the flat-IVF and IVF-PQ indexes (validation happens
+    * in the callers; the cell layout contract is identical). */
+  private[data] def compactCells(spark: org.apache.spark.sql.SparkSession,
+                                 cellsPath: String,
+                                 maxFilesPerPartition: Int): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(cellsPath), spark.sparkContext.hadoopConfiguration)
     val over = fs.listStatus(new org.apache.hadoop.fs.Path(cellsPath))

@@ -259,6 +259,14 @@ object Pq {
     spark.catalog.refreshByPath(s"$path/cells")
   }
 
+  /** Per-partition file compaction after append bursts — the shared
+    * cells-layout core ([[Ann.compactCells]]) behind IVF-PQ validation. */
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+                        maxFilesPerPartition: Int = 8): Int = {
+    loadValidated(spark, path)
+    Ann.compactCells(spark, s"$path/cells", maxFilesPerPartition)
+  }
+
   /** Serve top-k from a persisted IVF-PQ index. Per query batch:
     *  1. probe — top-nProbe coarse centroids (codegen kernel, broadcast);
     *  2. ADC sweep — scan ONLY (id, code) of ONLY the probed partitions
