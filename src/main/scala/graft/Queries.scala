@@ -588,7 +588,9 @@ object Queries {
         .select(col("doc_id"), col("content_hash"), col("min_gram_fp"))
         .orderBy(col("doc_id"))),
 
-    // multimodal plumbing: stub-decoded features over synthetic media
+    // multimodal plumbing: stub-decoded features over synthetic media —
+    // VALUE-ORACLED: the stub codec is an md5 chain, so the DuckDB
+    // oracle regenerates the payload bytes and replays the feature math
     "q_multimodal_features" -> ((s, dir) => {
       val media = graft.data.Multimodal.synthMedia(s, 200)
       graft.data.Multimodal.extractFeatures(media).toDF()
@@ -795,6 +797,56 @@ object Queries {
        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
               round(adc, 4) AS adc
        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Multimodal plumbing: the stub codec is an md5 chain (body byte j =
+    // byte j%16 of md5("<id>:<j/16>")), so the oracle REGENERATES the
+    // payload bytes from md5() + hex-nibble parsing and replays the
+    // feature math. Entropy accumulates bucket-0..15 left-to-right on
+    // both engines (((0-t0)-t1)-… ≡ -((t0+t1)+…) in IEEE round-to-
+    // nearest), and floor(x*1e4 + 0.5)/1e4 replicates Scala math.round.
+    "q_multimodal_features" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+         sized AS (
+           SELECT media_id,
+             CASE media_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio' ELSE 'video' END
+               AS modality,
+             256 + (
+               (strpos('0123456789abcdef',
+                  substr(md5(media_id || ':len'), 1, 1)) - 1) * 4096 +
+               (strpos('0123456789abcdef',
+                  substr(md5(media_id || ':len'), 2, 1)) - 1) * 256 +
+               (strpos('0123456789abcdef',
+                  substr(md5(media_id || ':len'), 3, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef',
+                  substr(md5(media_id || ':len'), 4, 1)) - 1)) % 1024
+               AS n_bytes
+           FROM ids),
+         bodied AS (
+           SELECT media_id, modality, n_bytes,
+             [(strpos('0123456789abcdef',
+                 substr(md5(media_id || ':' || (j // 16)),
+                        CAST((j % 16) * 2 + 1 AS INTEGER), 1)) - 1) * 16 +
+              (strpos('0123456789abcdef',
+                 substr(md5(media_id || ':' || (j // 16)),
+                        CAST((j % 16) * 2 + 2 AS INTEGER), 1)) - 1)
+              FOR j IN generate_series(0, n_bytes - 1)] AS bytes
+           FROM sized),
+         histed AS (
+           SELECT media_id, modality, n_bytes, bytes,
+             [len(list_filter(bytes, b -> b // 16 = h))
+              FOR h IN generate_series(0, 15)] AS hist
+           FROM bodied)
+       SELECT media_id, modality, CAST(n_bytes AS INTEGER) AS n_bytes,
+         round(CAST(list_sum(bytes) AS DOUBLE) / n_bytes, 4) AS mean_byte,
+         floor((0 - list_sum([
+             CASE WHEN c > 0
+               THEN (CAST(c AS DOUBLE) / n_bytes) *
+                    ln(CAST(c AS DOUBLE) / n_bytes)
+               ELSE CAST(0 AS DOUBLE) END
+             FOR c IN hist])) * 10000 + 0.5) / 10000 AS byte_entropy_q
+       FROM histed ORDER BY media_id""",
+
     "q_topn_counts" ->
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          GROUP BY o_orderpriority HAVING count(*) >= 3

@@ -31,15 +31,27 @@ object Multimodal {
                          frame_bytes: Array[Byte])
 
   /** ======= STUB: deterministic fake codec =======
-    * Fake payload layout: 8-byte magic "GRAFTMED", then pseudo-random
-    * bytes seeded by media_id. A real implementation would decode
-    * JPEG/PNG/WAV/MP4 here. */
+    * Fake payload layout: 8-byte magic "GRAFTMED", then an md5 chain
+    * seeded by media_id: body byte j is byte (j % 16) of md5("<id>:<j/16>").
+    * A real implementation would decode JPEG/PNG/WAV/MP4 here. The chain
+    * (rather than a JVM PRNG) makes the stub CROSS-ENGINE deterministic:
+    * the q_multimodal_features DuckDB oracle regenerates the identical
+    * bytes from md5() + hex-nibble parsing and value-checks the feature
+    * math end-to-end. */
   object FakeCodec {
     val Magic: Array[Byte] = "GRAFTMED".getBytes("ASCII")
+    private[data] def md5Bytes(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("ASCII"))
+    /** Big-endian u16 from the first two md5 bytes of "<id>:<tag>" —
+      * the size/dimension selector shared with the SQL oracle. */
+    private[data] def u16(id: Long, tag: String): Int = {
+      val h = md5Bytes(s"$id:$tag")
+      ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+    }
     def encode(id: Long, nBytes: Int): Array[Byte] = {
-      val rnd = new scala.util.Random(id * 0x9E3779B97F4A7C15L)
-      val body = new Array[Byte](nBytes)
-      rnd.nextBytes(body)
+      val body = Array.tabulate((nBytes + 15) / 16)(j => md5Bytes(s"$id:$j"))
+        .flatten.take(nBytes)
       Magic ++ body
     }
     /** ??? in spirit: the decode boundary. Returns the raw sample bytes. */
@@ -51,19 +63,20 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media table (for tests/bench). */
-  def synthMedia(spark: SparkSession, n: Int, seed: Long = 5L)
-      : Dataset[MediaRow] = {
+  /** Deterministic synthetic media table (for tests/bench). Every field
+    * derives from the md5-u16 selector, so a SQL engine can regenerate
+    * the table exactly (the q_multimodal_features oracle does). */
+  def synthMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
-      val rnd = new scala.util.Random(seed ^ i)
+      import FakeCodec.u16
       val modality = Seq("image", "audio", "video")((i % 3).toInt)
       val (w, h, d) = modality match {
-        case "image" => (64 + rnd.nextInt(512), 64 + rnd.nextInt(512), 0)
-        case "audio" => (0, 0, 1000 + rnd.nextInt(60000))
-        case _       => (320, 240, 1000 + rnd.nextInt(30000))
+        case "image" => (64 + u16(i, "w") % 512, 64 + u16(i, "h") % 512, 0)
+        case "audio" => (0, 0, 1000 + u16(i, "d") % 60000)
+        case _       => (320, 240, 1000 + u16(i, "d") % 30000)
       }
-      MediaRow(i, modality, FakeCodec.encode(i, 256 + rnd.nextInt(1024)),
+      MediaRow(i, modality, FakeCodec.encode(i, 256 + u16(i, "len") % 1024),
         w, h, d, s"fake-$modality")
     }
   }
