@@ -180,7 +180,7 @@ object NearDupStream {
     val old = spark.read.parquet(v1Path)
     writeStoreMeta(spark, v2Path, StoreMeta(StoreVersion, cfg.numHashes,
       cfg.bands, cfg.shingleSize, cfg.seed, cfg.oph, shards))
-    bucketRows(old, cfg, idCol, shards)
+    clusterForWrite(bucketRows(old, cfg, idCol, shards))
       .write.mode("append").partitionBy("band", "shard")
       .parquet(s"$v2Path/sigs")
   }
@@ -206,7 +206,7 @@ object NearDupStream {
     }
     writeStoreMeta(spark, storePath, StoreMeta(StoreVersion, cfg.numHashes,
       cfg.bands, cfg.shingleSize, cfg.seed, cfg.oph, shards))
-    bucketRows(sigs, cfg, idCol, shards)
+    clusterForWrite(bucketRows(sigs, cfg, idCol, shards))
       .write.mode("append").partitionBy("band", "shard")
       .parquet(s"$storePath/sigs")
   }
@@ -219,6 +219,62 @@ object NearDupStream {
       .join(sigs.select(col(idCol), col("sig")), Seq(idCol))
       .select(col("band"), col("shard"), col("bucket"), col(idCol),
         col("sig"))
+
+  /** Cluster append rows by their target partition before the
+    * partitionBy write: without this every writer task emits one file
+    * per (band, shard) value it holds — measured ~10k files PER BATCH at
+    * bands×shards = 256 and 32 shuffle partitions (the small-files
+    * pathology that dominates trigger wall as the store ages). With it,
+    * each (band, shard) lands in exactly one task → at most one file per
+    * touched partition per append. */
+  private def clusterForWrite(rows: DataFrame): DataFrame =
+    rows.repartition(col("band"), col("shard"))
+
+  /** Per-partition file compaction for the (band, shard) store — run on
+    * a schedule for long-lived streams: every append adds at most one
+    * file per touched partition, so after B batches a hot partition
+    * holds up to B small files and the per-trigger pruned-scan cost
+    * creeps with file count, not data size. Rewrites only partitions
+    * over `maxFilesPerPartition` (dynamic partition overwrite; rows are
+    * localCheckpoint()'d first — the self-overwrite rule). Returns the
+    * number of partitions rewritten. */
+  def compactStore(spark: SparkSession, storePath: String,
+                   maxFilesPerPartition: Int = 8): Int = {
+    val meta = readStoreMeta(spark, storePath)
+    require(meta.isDefined, s"no signature store at $storePath")
+    val fs = hadoopFs(spark, storePath)
+    val sigsPath = new org.apache.hadoop.fs.Path(s"$storePath/sigs")
+    val over = for {
+      bandDir <- fs.listStatus(sigsPath).toSeq
+      if bandDir.isDirectory && bandDir.getPath.getName.startsWith("band=")
+      shardDir <- fs.listStatus(bandDir.getPath).toSeq
+      if shardDir.isDirectory && shardDir.getPath.getName.startsWith("shard=")
+      if fs.listStatus(shardDir.getPath).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")) >
+        maxFilesPerPartition
+    } yield (bandDir.getPath.getName.stripPrefix("band=").toInt,
+      shardDir.getPath.getName.stripPrefix("shard=").toInt)
+    if (over.isEmpty) return 0
+    def orAll(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cs.length == 1) cs.head
+      else { val (a, b) = cs.splitAt(cs.length / 2); orAll(a) || orAll(b) }
+    val rows = spark.read.parquet(s"$storePath/sigs")
+      .filter(orAll(over.map { case (b, s) =>
+        col("band") === b && col("shard") === s }))
+      .repartition(col("band"), col("shard"))
+      .localCheckpoint()
+    val prevMode = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      rows.write.mode("overwrite").partitionBy("band", "shard")
+        .parquet(s"$storePath/sigs")
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    DatasetBridge.releaseCheckpoint(rows)
+    spark.catalog.refreshByPath(s"$storePath/sigs")
+    over.length
+  }
 
   /** One micro-batch step (exactly what the foreachBatch sink invokes;
     * exposed for deterministic testing). Returns the batch's survivors
@@ -328,11 +384,11 @@ object NearDupStream {
       writeStoreMeta(spark, storePath, StoreMeta(StoreVersion,
         cfg.numHashes, cfg.bands, cfg.shingleSize, cfg.seed, cfg.oph,
         shardsEff))
-    batchBuckets
-      .join(survivors.select(idCol), Seq(idCol), "left_semi")
-      .join(sigs.select(col(idCol), col("sig")), Seq(idCol))
-      .select(col("band"), col("shard"), col("bucket"), col(idCol),
-        col("sig"))
+    clusterForWrite(batchBuckets
+        .join(survivors.select(idCol), Seq(idCol), "left_semi")
+        .join(sigs.select(col(idCol), col("sig")), Seq(idCol))
+        .select(col("band"), col("shard"), col("bucket"), col(idCol),
+          col("sig")))
       .write.mode("append").partitionBy("band", "shard")
       .parquet(s"$storePath/sigs")
     spark.catalog.refreshByPath(s"$storePath/sigs")

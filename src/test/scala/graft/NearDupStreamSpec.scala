@@ -295,4 +295,56 @@ class NearDupStreamSpec extends AnyFunSuite with SparkFixture {
     assert(falseAdmits.head.getDouble(2) >= cfg.jaccardThreshold)
     org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(rec)
   }
+
+  test("appends write one file per touched partition; compactStore bounds them") {
+    import spark.implicits._
+    val store = s"$dir/compactstore"
+    val cfg = graft.data.Dedup.MinHashConfig(oph = true)
+    // 6 append bursts of novel docs → up to 6 files in a hot partition
+    for (b <- 0 until 6) {
+      val batch = (0 until 8)
+        .map(i => (b * 100L + i, doc(b * 31 + i * 7 + 1000)))
+        .toDF("doc_id", "text")
+      NearDupStream.nearDupBatch(batch, store, cfg).unpersist()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(store), spark.sparkContext.hadoopConfiguration)
+    def partFiles(): Map[String, Int] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$store/sigs"), true)
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val part = f.getPath.getParent.toString
+          counts(part) = counts.getOrElse(part, 0) + 1
+        }
+      }
+      counts.toMap
+    }
+    val before = partFiles()
+    // clustered writes: no partition ever exceeds one file per append
+    assert(before.values.max <= 6, s"files/partition: ${before.values.max}")
+    assert(before.values.max > 2, "test needs a multi-file partition")
+    val idsBefore = spark.read.parquet(s"$store/sigs")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+    val rewritten = NearDupStream.compactStore(spark, store,
+      maxFilesPerPartition = 2)
+    assert(rewritten > 0)
+    val after = partFiles()
+    assert(after.values.max <= 2,
+      s"compaction left ${after.values.max} files in a partition")
+    // content is preserved and the store still serves dedup decisions
+    val idsAfter = spark.read.parquet(s"$store/sigs")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idsAfter == idsBefore)
+    val dupe = Seq((9999L, doc(1000))).toDF("doc_id", "text") // copy of 0
+    val s = NearDupStream.nearDupBatch(dupe, store, cfg)
+    assert(s.count() == 0, "post-compaction store must still refuse dups")
+    s.unpersist()
+    // a second pass is a no-op
+    assert(NearDupStream.compactStore(spark, store,
+      maxFilesPerPartition = 2) == 0)
+  }
 }
