@@ -400,12 +400,15 @@ object NearDupStream {
 
   /** foreachBatch sink: admitted (near-dup-free) docs land in
     * `outPath`, signatures accumulate in `storePath`, progress is
-    * checkpointed. `docs` is a streaming DataFrame with (doc_id, text). */
+    * checkpointed. `docs` is a streaming DataFrame with (doc_id, text).
+    * `once = true` drains everything currently available and stops
+    * (Trigger.AvailableNow — the scheduled-job deployment shape). */
   def nearDupSink(docs: DataFrame, storePath: String, outPath: String,
                   checkpointDir: String,
-                  cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(oph = true))
-      : StreamingQuery =
-    docs.writeStream
+                  cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(oph = true),
+                  once: Boolean = false)
+      : StreamingQuery = {
+    val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val survivors = nearDupBatch(batch, storePath, cfg)
@@ -418,7 +421,11 @@ object NearDupStream {
         DatasetBridge.releaseCheckpoint(survivors)
         ()
       }
+    (if (once)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .start()
+  }
 
   /** Batch reconcile job closing the stream's documented estimated-vs-
     * exact gap: re-runs the EXACT shingle-set Jaccard over the corpus the
@@ -523,6 +530,61 @@ object NearDupStream {
     admittedIds.unpersist(blocking = false)
     corpusP.unpersist(blocking = false)
     out
+  }
+}
+
+/** Streaming near-dup gate CLI — the deployment shape of
+  * [[NearDupStream.nearDupSink]] (the near-dup twin of
+  * LinkageStreamMain):
+  *
+  *   spark-submit --class graft.streaming.NearDupStreamMain <jar> \
+  *     --source <landing dir of (doc_id, text) parquet> \
+  *     --store <signature store dir> --output <admitted-docs dir> \
+  *     --checkpoint <dir> [--once] [--compact <maxFilesPerPartition>]
+  *     [--jaccard 0.7] [--num-hashes 64] [--bands 16]
+  *     [--shingle-size 3] [--seed 42] [--no-oph] [--shards 16]
+  *
+  * The file source picks up parquet files of documents as they land
+  * under --source. `--once` drains everything currently available and
+  * exits (Trigger.AvailableNow) — each cron/Airflow invocation dedups
+  * the files that arrived since the previous one, resuming from the
+  * same checkpoint. `--compact N` runs
+  * [[NearDupStream.compactStore]] after the stream stops (pair it with
+  * --once; a long-lived stream should schedule compaction separately).
+  * The minhash knobs MUST match the store's meta on an existing store
+  * (mismatches are refused loudly). */
+object NearDupStreamMain {
+  import graft.linkage.Cli
+
+  def main(args: Array[String]): Unit = {
+    val opts = Cli.parse(args, flags = Set("once", "no-oph"))
+    val spark = Cli.session("graft-neardup-stream")
+    try run(spark, opts)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import org.apache.spark.sql.types._
+    val store = Cli.required(opts, "store")
+    val cfg = Dedup.MinHashConfig(
+      numHashes = opts.getOrElse("num-hashes", "64").toInt,
+      bands = opts.getOrElse("bands", "16").toInt,
+      shingleSize = opts.getOrElse("shingle-size", "3").toInt,
+      jaccardThreshold = opts.getOrElse("jaccard", "0.7").toDouble,
+      seed = opts.getOrElse("seed", "42").toLong,
+      oph = !opts.contains("no-oph"))
+    val docs = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(Cli.required(opts, "source"))
+    val q = NearDupStream.nearDupSink(docs, store,
+      Cli.required(opts, "output"), Cli.required(opts, "checkpoint"),
+      cfg, once = opts.contains("once"))
+    q.awaitTermination()
+    opts.get("compact").foreach { n =>
+      val rewritten = NearDupStream.compactStore(spark, store, n.toInt)
+      println(s"[graft] compacted $rewritten store partitions at $store")
+    }
   }
 }
 

@@ -347,4 +347,43 @@ class NearDupStreamSpec extends AnyFunSuite with SparkFixture {
     assert(NearDupStream.compactStore(spark, store,
       maxFilesPerPartition = 2) == 0)
   }
+
+  test("NearDupStreamMain --once: scheduled-job shape over a file source") {
+    import spark.implicits._
+    import graft.streaming.NearDupStreamMain
+    val base = s"$dir/cli"
+    // drop 1: three novel docs land; the main drains them and EXITS
+    Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/src/drop1")
+    NearDupStreamMain.run(spark, Map(
+      "source" -> s"$base/src/*", "store" -> s"$base/store",
+      "output" -> s"$base/out", "checkpoint" -> s"$base/ckpt",
+      "once" -> "true"))
+    assert(spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    // drop 2 lands: a near-dup of stored 1, a novel doc, and an exact
+    // copy of stored 2 — a SECOND invocation resumes from the same
+    // checkpoint, admits only the novel doc, and compacts afterwards
+    Seq((10L, doc(1).replaceFirst("tok20", "EDITED")),
+        (11L, doc(8)), (12L, doc(2))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/src/drop2")
+    NearDupStreamMain.run(spark, Map(
+      "source" -> s"$base/src/*", "store" -> s"$base/store",
+      "output" -> s"$base/out", "checkpoint" -> s"$base/ckpt",
+      "once" -> "true", "compact" -> "1"))
+    assert(spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 11L),
+      "second invocation must admit only the novel doc")
+    // config mismatch against the store meta is refused through the CLI
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      NearDupStreamMain.run(spark, Map(
+        "source" -> s"$base/src/*", "store" -> s"$base/store",
+        "output" -> s"$base/out", "checkpoint" -> s"$base/ckpt2",
+        "once" -> "true", "seed" -> "99"))
+    }
+    assert(e.getMessage.contains("mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("mismatch")))
+  }
 }
