@@ -165,8 +165,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "200000").toInt
 
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
+    // comma-separated allowlist for iterating on one query without paying
+    // the full 45-query sweep; empty/unset = run everything
+    val onlyQueries = sys.env.getOrElse("SPARK_GRAFT_ONLY_QUERIES", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
     val spark = session(cpus)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyQueries.isEmpty || onlyQueries(n) }
     // steady-state measurement, same methodology as linkageBenchWarm:
     // one untimed pass first — cold-JVM JIT of Spark internals otherwise
     // lands entirely on whichever queries run first (measured: the

@@ -103,41 +103,103 @@ object Dedup {
       oph: Boolean = false,
       /** Oversized-bucket guard on the band join (the linkage engine's
         * Candidates 2% discipline, inherited): a (band, bucket) holding
-        * more than max(minBucketCap, capRatio·|docs|) rows is DROPPED
-        * from candidate generation — a degenerate hot bucket (millions
-        * of near-empty docs collapsing to one signature slice) otherwise
-        * makes one join partition quadratic. The trade is RECALL: pairs
-        * living only in a capped bucket are never verified, so every
-        * drop is logged loudly (never silent). capRatio >= 1.0 disables
-        * the cap (reconcile audits run uncapped by design). */
+        * more than min(maxBucketCap, max(minBucketCap, capRatio·|docs|))
+        * rows is DROPPED from candidate generation — a degenerate hot
+        * bucket (millions of near-empty docs collapsing to one signature
+        * slice) otherwise makes one join partition quadratic. The trade
+        * is RECALL: pairs living only in a capped bucket are never
+        * verified, so every drop is logged loudly (never silent).
+        * capRatio >= 1.0 disables the cap (reconcile audits run uncapped
+        * by design).
+        *
+        * The FLOOR keeps the ratio term from firing on small corpora,
+        * where a bucket holding a few percent of the docs is a genuine
+        * near-dup family, not degeneracy (measured: at 5k docs the old
+        * floor of 50 capped 9 ORGANIC buckets of the synthetic corpus
+        * and silently changed the answer — ratio·n can't reach 5000
+        * until the corpus passes 250k docs). The CEILING bounds the
+        * join WORK per bucket absolutely — quadratic cost depends on
+        * the bucket's row count, not its corpus fraction, and at 10⁹
+        * docs a 2% cap would admit 2·10⁷-row buckets (2·10¹⁴ pairs in
+        * one task); 20k rows caps a bucket at 2·10⁸ cheap comparisons,
+        * a bounded straggler. */
       capRatio: Double = 0.02,
-      minBucketCap: Long = 50) {
-    /** Effective bucket cap for a corpus of n docs; Long.MaxValue = off. */
+      minBucketCap: Long = 5000,
+      maxBucketCap: Long = 20000) {
+    /** Is the oversized-bucket guard live at this config? */
+    def capOn: Boolean = capRatio < 1.0
+    /** Effective bucket cap for a corpus of n docs; Long.MaxValue = off.
+      * For full-corpus runs prefer the ratio-based [[Dedup.capBuckets]]
+      * overload, which derives n from the bucket relation itself instead
+      * of paying a separate count action — this explicit form exists for
+      * callers whose bucket relation is NOT the whole corpus (the
+      * incremental path's pruned store legs). */
     def bucketCap(n: Long): Long =
-      if (capRatio >= 1.0) Long.MaxValue
-      else math.max(minBucketCap, (capRatio * n).toLong)
+      if (!capOn) Long.MaxValue
+      else math.min(maxBucketCap,
+        math.max(minBucketCap, (capRatio * n).toLong))
   }
 
-  /** Drop (band, bucket) groups holding more than `cap` rows from a
+  /** Drop (band, bucket) groups holding more than
+    * min(maxBucketCap, max(minBucketCap, capRatio·|docs|)) rows from a
     * bucket relation, logging the dropped bucket/row counts (a capped
-    * bucket is lost RECALL — never drop silently). `buckets` must be
-    * persisted by the caller: it feeds the stats job AND the kept-side
-    * semi-join. The counts side is tiny, so AQE broadcasts it back. */
+    * bucket is lost RECALL — never drop silently). Returns None when NO
+    * bucket exceeds the cap — the steady state for every non-degenerate
+    * corpus — so the caller can keep its original single-job plan
+    * untouched (no semi-join, no materialization barrier). `buckets` is
+    * consumed by the stats job AND (in the degenerate case) the
+    * kept-side semi-join — the caller must make it cheap to evaluate
+    * twice, either by persisting it or (better, simhash) by persisting
+    * the narrow relation it derives from.
+    *
+    * The corpus size is DERIVED from the bucket relation itself — each
+    * doc contributes exactly `rowsPerDoc` rows (one per band), so
+    * |docs| = total/rowsPerDoc — rather than counted with a separate
+    * action: a `docs.count()`/`sigs.count()` job re-ran the whole
+    * signature computation once more per call (measured ~2 s of the
+    * sf0.1 simhash query). One agg over the bucket relation yields total
+    * AND the max bucket size, so the guard's steady-state cost is that
+    * single stats pass. */
+  private[graft] def capBuckets(buckets: DataFrame, capRatio: Double,
+                                minBucketCap: Long, maxBucketCap: Long,
+                                rowsPerDoc: Int,
+                                tag: String): Option[DataFrame] = {
+    if (capRatio >= 1.0) return None
+    applyCap(buckets, total => math.min(maxBucketCap,
+      math.max(minBucketCap,
+        (capRatio * (total / math.max(rowsPerDoc, 1))).toLong)), tag)
+  }
+
+  /** Explicit-cap variant for callers whose bucket relation is NOT the
+    * whole corpus (the incremental path joins new-batch buckets against
+    * partition-PRUNED store legs, so deriving |docs| from the relation
+    * would undercount — they size the cap from known corpus counts). */
   private[graft] def capBuckets(buckets: DataFrame, cap: Long,
-                                tag: String): DataFrame = {
-    if (cap == Long.MaxValue) return buckets
+                                tag: String): Option[DataFrame] =
+    if (cap == Long.MaxValue) None
+    else applyCap(buckets, _ => cap, tag)
+
+  private def applyCap(buckets: DataFrame, capOf: Long => Long,
+                       tag: String): Option[DataFrame] = {
     val counts = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+    val head = counts
+      .agg(coalesce(sum(col("n")), lit(0L)).as("total"),
+        coalesce(max(col("n")), lit(0L)).as("biggest"))
+      .collect().head
+    val (total, biggest) = (head.getLong(0), head.getLong(1))
+    val cap = capOf(total)
+    if (biggest <= cap) return None
     val over = counts.filter(col("n") > cap)
       .agg(count(lit(1)).as("b"), coalesce(sum(col("n")), lit(0L)).as("r"))
       .collect().head
-    if (over.getLong(0) > 0)
-      println(s"[graft] $tag: dropped ${over.getLong(0)} hot bucket(s) " +
-        s"holding ${over.getLong(1)} rows over cap=$cap — bounded join " +
-        "partitions traded for recall in those buckets " +
-        "(MinHashConfig.capRatio/minBucketCap)")
-    buckets.join(counts.filter(col("n") <= cap).select("band", "bucket"),
-      Seq("band", "bucket"), "left_semi")
+    println(s"[graft] $tag: dropped ${over.getLong(0)} hot bucket(s) " +
+      s"holding ${over.getLong(1)} rows over cap=$cap — bounded join " +
+      "partitions traded for recall in those buckets " +
+      "(MinHashConfig.capRatio/minBucketCap/maxBucketCap)")
+    Some(buckets.join(
+      counts.filter(col("n") <= cap).select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi"))
   }
 
   /** MinHash signatures: (id, sig: array<long> of numHashes mins) from
@@ -283,21 +345,22 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
       .persist(lvl)
-    val cap = cfg.bucketCap(docs.count())
     val rawBuckets = lshBuckets(sigs(exploded, cfg, idCol), cfg, idCol)
     // persist only when the cap is live: capBuckets consumes the bucket
-    // relation twice (stats job + kept-side semi-join) and an unpersisted
+    // relation twice (stats job + candidate join) and an unpersisted
     // second pass would recompute the whole signature aggregation
-    val buckets = if (cap == Long.MaxValue) rawBuckets
-                  else rawBuckets.persist(lvl)
-    val cands = lshCandidates(capBuckets(buckets, cap, "minhash-lsh"), idCol)
-      .persist(lvl)
+    val buckets = if (cfg.capOn) rawBuckets.persist(lvl) else rawBuckets
+    val kept = if (cfg.capOn)
+      capBuckets(buckets, cfg.capRatio, cfg.minBucketCap, cfg.maxBucketCap,
+        cfg.bands, "minhash-lsh").getOrElse(buckets)
+    else buckets
+    val cands = lshCandidates(kept, idCol).persist(lvl)
     val out = jaccardVerify(exploded, cands, idCol)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .persist(lvl)
     out.count() // materialize via the cached fan-out points
     exploded.unpersist(blocking = false)
-    if (cap != Long.MaxValue) buckets.unpersist(blocking = false)
+    if (cfg.capOn) buckets.unpersist(blocking = false)
     cands.unpersist(blocking = false)
     out
   }
@@ -400,7 +463,8 @@ object Dedup {
   def simHashNearDups(sigs: DataFrame, maxDistance: Int = 3,
                       idCol: String = "doc_id", bands: Int = 0,
                       capRatio: Double = 0.02,
-                      minBucketCap: Long = 50): DataFrame = {
+                      minBucketCap: Long = 5000,
+                      maxBucketCap: Long = 20000): DataFrame = {
     val nBands = if (bands > 0) bands else maxDistance + 1
     require(nBands > maxDistance,
       s"pigeonhole exactness needs bands ($nBands) > maxDistance ($maxDistance)")
@@ -413,36 +477,50 @@ object Dedup {
     val bandBuckets = array((0 until nBands).map { b =>
       shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(mask(widths(b)))
     }: _*)
-    val cap = MinHashConfig(capRatio = capRatio, minBucketCap = minBucketCap)
-      .bucketCap(if (capRatio >= 1.0) 0L else sigs.count())
-    val rawBanded = sigs
+    val capOn = capRatio < 1.0
+    def bandedOf(rel: DataFrame): DataFrame = rel
       .select(col(idCol), col("simhash"), posexplode(bandBuckets))
       .toDF(idCol, "simhash", "band", "bucket")
-    // persist only under a live cap: capBuckets reads the relation twice
-    // (stats job + kept-side semi-join)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bandedHandle = if (cap == Long.MaxValue) rawBanded
-                       else rawBanded.persist(lvl)
-    val banded = capBuckets(bandedHandle, cap, "simhash")
-    val l = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("band").as("band_r"),
-      col("bucket").as("bucket_r"), col(idCol).as("id_b"),
-      col("simhash").as("sh_b"))
-    val out = l.join(r, col("band") === col("band_r") &&
-        col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDistance)
-    if (cap == Long.MaxValue) out
-    else {
-      // materialize through the persisted banded relation, then release
-      // it; the returned (persisted) frame is the caller-owned handle
-      val p = out.persist(lvl)
-      p.count()
-      bandedHandle.unpersist(blocking = false)
-      p
+    def pairsOver(banded: DataFrame): DataFrame = {
+      val l = banded.select(col("band"), col("bucket"),
+        col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      val r = banded.select(col("band").as("band_r"),
+        col("bucket").as("bucket_r"), col(idCol).as("id_b"),
+        col("simhash").as("sh_b"))
+      l.join(r, col("band") === col("band_r") &&
+          col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxDistance)
     }
+    if (!capOn) return pairsOver(bandedOf(sigs))
+    // The guard's stats job and both join sides all consume the
+    // signatures; cache the NARROW (id, simhash) projection (16
+    // bytes/row) so the expensive signature compute runs once and the
+    // cheap band-explode re-derives from cache per consumer. Caching the
+    // exploded banded relation instead (an earlier draft) measured 4.3 s
+    // vs 2.0 s uncapped at sf0.1 — columnar-caching the wide fan-out and
+    // re-reading it dwarfed the compute it saved. Handing the steady
+    // state back the caller's ORIGINAL uncached plan (another draft)
+    // re-paid the whole signature compute on top of the stats pass
+    // (5.5 s vs 2.4 s uncapped — `sigs.count()` prunes the hash
+    // expressions, so the compute the stats job shares with the join is
+    // most of the query). The .select wrapper gives this call its OWN
+    // storage handle: persisting the caller's frame directly would
+    // clobber their cache state. Corpus size for the cap falls out of
+    // the same stats job (|docs| = rows/nBands — every doc has a
+    // simhash).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigRel = sigs.select(col(idCol), col("simhash")).persist(lvl)
+    val rawBanded = bandedOf(sigRel)
+    val kept = capBuckets(rawBanded, capRatio, minBucketCap, maxBucketCap,
+      nBands, "simhash").getOrElse(rawBanded)
+    // materialize through the cached signature relation, then release
+    // it; the returned (persisted) frame is the caller-owned handle
+    val p = pairsOver(kept).persist(lvl)
+    p.count()
+    sigRel.unpersist(blocking = false)
+    p
   }
 }

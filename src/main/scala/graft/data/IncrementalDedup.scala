@@ -79,6 +79,7 @@ object IncrementalDedup {
       .unionByName(newBuckets.select(col("band"), col("bucket"), col(idCol)))
       .persist(lvl)
     val kept = Dedup.capBuckets(all, cap, "minhash-lsh-incremental")
+      .getOrElse(all)
     val keptNew = newBuckets
       .join(kept.select(col("band"), col("bucket"), col(idCol)),
         Seq("band", "bucket", idCol), "left_semi")

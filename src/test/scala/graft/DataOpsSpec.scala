@@ -150,8 +150,10 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     // 500 IDENTICAL docs collapse to one simhash → every band bucket
     // holds 500 rows; uncapped, the banded self-join builds 500²/2 pairs
-    // per band inside ONE partition. Under the default cap
-    // (max(50, 2%·N) = 50 < 500) those buckets are dropped — the
+    // per band inside ONE partition. With the floor lowered to 50 for
+    // test scale (the production default of 5000 exists so organic
+    // near-dup families in small corpora are never capped), the cap
+    // min(20000, max(50, 2%·N)) = 50 < 500 drops those buckets — the
     // documented recall trade: identical floods belong to exact dedup —
     // while a small near-dup family elsewhere is still found.
     val mega = spark.range(500).select((col("id") + 10000).as("doc_id"),
@@ -161,7 +163,8 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
       (2L, corpus.filter(col("doc_id") === 1000L).head().getString(1)))
       .toDF("doc_id", "text")
     val sigs = Dedup.simHash(mega.unionByName(control))
-    val out = Dedup.simHashNearDups(sigs, maxDistance = 3)
+    val out = Dedup.simHashNearDups(sigs, maxDistance = 3,
+      minBucketCap = 50)
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!pairs.exists { case (a, b) => a >= 10000L || b >= 10000L },
       "mega-bucket pairs must be dropped by the cap")
@@ -177,13 +180,16 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("minhash hot-bucket cap bounds a planted mega-bucket") {
     import spark.implicits._
-    // 300 identical docs share every band bucket; the default cap drops
-    // those buckets from lshCandidates while the planted near-dup family
-    // in `corpus` is still fully recalled (its buckets stay tiny)
+    // 300 identical docs share every band bucket; the cap (floor lowered
+    // to 50 for test scale — the production default of 5000 protects
+    // organic small-corpus families) drops those buckets from
+    // lshCandidates while the planted near-dup family in `corpus` is
+    // still fully recalled (its buckets stay tiny)
     val mega = spark.range(300).select((col("id") + 50000).as("doc_id"),
       lit("flood of identical tokens repeated here").as("text"))
     val dups = Dedup.minHashNearDups(corpus.unionByName(mega),
-      Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.6))
+      Dedup.MinHashConfig(bands = 32, jaccardThreshold = 0.6,
+        minBucketCap = 50))
     val pairs = dups.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!pairs.exists { case (a, b) => a >= 50000L || b >= 50000L },
