@@ -575,6 +575,45 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("quality_score"))
         .orderBy(col("doc_id"))),
 
+    // benchmark decontamination: training docs sharing any 3-gram with a
+    // benchmark set built from deterministic 8-token windows of every
+    // 50th doc (value oracle: DuckDB recomputes both gram sets as
+    // strings and the shared-gram counts; the library joins on xxhash64
+    // gram keys, identical counts up to 2⁻⁶⁴ collisions). The benchmark
+    // gram relation is broadcast — the corpus-side scan never shuffles.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 3)
+        .select((col("doc_id") / 50).cast("long").as("bench_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 3, 8), " ")
+            .as("text"))
+      graft.data.Decontaminate.contaminationReport(docs, bench, n = 3)
+        .select(col("doc_id"), col("bench_id"), col("shared_grams"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // PII redaction: regex scrub + audit counts over docs with planted
+    // deterministic PII (email/SSN/card/phone/IP derived from doc_id so
+    // DuckDB regenerates the exact input and replays the same RE2-safe
+    // patterns)
+    "q_redact_pii" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 40),
+          lit(" reach u"), col("doc_id").cast("string"),
+          lit("@ex-mail.com or 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ssn 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" card 4111 1111 1111 1111 ip 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+          .as("text"))
+      graft.data.Redact.redact(planted, keepText = false)
+        .select(col("doc_id"), col("redacted"), col("n_email"),
+          col("n_ssn"), col("n_card"), col("n_phone"), col("n_ip"))
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing-style fingerprints over documents — md5 hash variant so
     // DuckDB can recompute the min-5-gram fingerprint value-for-value.
     // The md5-per-gram cost is oracle-only (the at-scale path is
@@ -1240,6 +1279,76 @@ object Queries {
                    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
                  FROM documents))
+         ORDER BY doc_id""",
+
+    "q_decontaminate" ->
+      """WITH bench AS (
+           SELECT CAST(doc_id // 50 AS BIGINT) AS bench_id,
+                  array_to_string(
+                    (regexp_split_to_array(trim(text), '\s+'))[3:10],
+                    ' ') AS text
+           FROM documents WHERE doc_id % 50 = 3
+         ), bg AS (
+           SELECT DISTINCT bench_id, g AS gram FROM (
+             SELECT bench_id, unnest(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ')
+                     FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [trim(text)] END) AS g
+             FROM (SELECT bench_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM bench))
+         ), dg AS (
+           SELECT DISTINCT doc_id, g AS gram FROM (
+             SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+               THEN [array_to_string(toks[i:i+2], ' ')
+                     FOR i IN generate_series(1, len(toks) - 2)]
+               ELSE [trim(text)] END) AS g
+             FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+                   FROM documents))
+         )
+         SELECT d.doc_id, b.bench_id,
+                CAST(count(*) AS BIGINT) AS shared_grams
+         FROM dg d JOIN bg b USING (gram)
+         GROUP BY d.doc_id, b.bench_id
+         ORDER BY d.doc_id, b.bench_id""",
+
+    "q_redact_pii" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             substring(text, 1, 40) || ' reach u' ||
+             CAST(doc_id AS VARCHAR) || '@ex-mail.com or 415-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' ssn 123-45-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' card 4111 1111 1111 1111 ip 10.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+             '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b',
+             '[CARD]', 'g'),
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '[PHONE]', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b'))
+             AS BIGINT) AS n_card,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+             AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip
+         FROM planted
          ORDER BY doc_id""",
 
     "q_fingerprints" ->
