@@ -4,14 +4,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus cleaning pipeline — the composition the individual
-  * data ops exist for: exact dedup → MinHash near-dup dedup → quality
-  * filter → language filter, with per-stage survivor counts. Each stage
-  * is the library operator (Dedup / TextAnalysis), so every plan-shape
-  * property those carry (join-back exact dedup, banded LSH + exact
-  * verify, codegen'd quality/lang projections) holds for the composed
-  * run. Survivor policy is deterministic: exact groups keep the minimum
-  * id; near-dup pairs drop the LARGER id of every qualifying pair (so a
+  * data ops exist for: exact dedup → MinHash near-dup dedup → benchmark
+  * decontamination (optional) → quality filter → language filter → PII
+  * redaction (optional), with per-stage survivor counts. Each stage is
+  * the library operator (Dedup / Decontaminate / TextAnalysis / Redact),
+  * so every plan-shape property those carry (join-back exact dedup,
+  * banded LSH + exact verify, broadcast benchmark grams, codegen'd
+  * quality/lang/redact projections) holds for the composed run.
+  * Survivor policy is deterministic: exact groups keep the minimum id;
+  * near-dup pairs drop the LARGER id of every qualifying pair (so a
   * chain a~b~c keeps only a).
+  *
+  * The optional stages are DOC-LOCAL (each document is judged against a
+  * fixed benchmark set / its own text only), and they run AFTER the
+  * near-dup stage, so [[cleanIncremental]]'s full-run-equivalence
+  * contract is untouched: the near-dup prev side stays the exact
+  * survivors, and doc-local verdicts commute with the increment split.
   */
 object CleanCorpus {
 
@@ -19,14 +27,74 @@ object CleanCorpus {
       lang: Option[String] = Some("en"),
       minQuality: Double = 0.5,
       minhash: Dedup.MinHashConfig =
-        Dedup.MinHashConfig(jaccardThreshold = 0.8, oph = true))
+        Dedup.MinHashConfig(jaccardThreshold = 0.8, oph = true),
+      /** benchmark/eval docs (benchIdCol, textCol) — when set, docs
+        * sharing any `decontNgram`-gram with a benchmark doc are
+        * dropped (Decontaminate; benchmark grams broadcast) */
+      benchmarks: Option[DataFrame] = None,
+      decontNgram: Int = 13,
+      benchIdCol: String = "bench_id",
+      /** scrub emails/SSNs/cards/phones/IPs from surviving text
+        * (Redact.redactText in place — schema unchanged) */
+      redactPii: Boolean = false)
 
   case class StageCounts(input: Long, afterExact: Long, afterNearDup: Long,
-                         afterQuality: Long, afterLang: Long) {
+                         afterQuality: Long, afterLang: Long,
+                         afterDecontaminate: Option[Long] = None,
+                         redactedDocs: Option[Long] = None) {
     def toJson: String =
       s"""{"input":$input,"after_exact_dedup":$afterExact,""" +
-      s""""after_neardup":$afterNearDup,"after_quality":$afterQuality,""" +
-      s""""after_lang":$afterLang}"""
+      s""""after_neardup":$afterNearDup,""" +
+      afterDecontaminate.map(n => s""""after_decontaminate":$n,""")
+        .getOrElse("") +
+      s""""after_quality":$afterQuality,"after_lang":$afterLang""" +
+      redactedDocs.map(n => s""","redacted_docs":$n""").getOrElse("") +
+      "}"
+  }
+
+  /** Doc-local stage tail shared by [[clean]] and [[cleanIncremental]]:
+    * optional decontamination → quality floor → language pin → optional
+    * redaction. Returns (persisted cleaned frame,
+    * afterDecontaminate, afterQuality, afterLang, redactedDocs).
+    * `nearDeduped` must be persisted by the caller (this tail consumes
+    * it up to three times when every option is on). */
+  private def finishStages(nearDeduped: DataFrame, cfg: Config,
+                           idCol: String, textCol: String)
+      : (DataFrame, Option[Long], Long, Long, Option[Long]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // 3. benchmark decontamination (optional; benchmark grams broadcast)
+    val decont = cfg.benchmarks
+      .map(bench => Decontaminate.decontaminate(nearDeduped, bench,
+        cfg.decontNgram, idCol = idCol, textCol = textCol,
+        benchIdCol = cfg.benchIdCol, benchTextCol = textCol).persist(lvl))
+      .getOrElse(nearDeduped)
+    val nDecont = cfg.benchmarks.map(_ => decont.count())
+    // 4. quality floor (codegen'd feature projection, no shuffle)
+    val scored = TextAnalysis.qualityFeatures(decont, textCol)
+      .filter(col("quality_score") >= cfg.minQuality)
+    // 5. language pin — langGuessDf's explode + conditional-sum plan
+    //    (codegen), NOT the per-row langGuess Column whose HOF lambdas
+    //    run interpreted (measured 3.4 s vs 0.6 s at sf0.1); in the
+    //    composed full-corpus pipeline this is the hot path
+    val pinned = cfg.lang
+      .map(l => TextAnalysis.langGuessDf(scored, idCol, textCol)
+        .filter(col("lang_guess") === l).drop("lang_guess"))
+      .getOrElse(scored)
+    // 6. PII redaction in place (schema unchanged; row count unchanged)
+    val cleaned = (if (cfg.redactPii)
+      pinned.withColumn(textCol, Redact.redactText(col(textCol)))
+    else pinned).persist(lvl)
+    val nLang = cleaned.count()
+    val nQuality = cfg.lang.map(_ => scored.count()).getOrElse(nLang)
+    // audit count = docs whose text the scrubber changed; computed on
+    // the pre-redact lineage (one extra cached-source pass, only when
+    // redaction is on) because the original text is gone from `cleaned`
+    val nRedacted = if (cfg.redactPii)
+      Some(pinned
+        .filter(Redact.redactText(col(textCol)) =!= col(textCol)).count())
+    else None
+    cfg.benchmarks.foreach(_ => decont.unpersist(blocking = false))
+    (cleaned, nDecont, nQuality, nLang, nRedacted)
   }
 
   /** Returns (cleaned docs with quality columns attached, stage counts).
@@ -52,23 +120,12 @@ object CleanCorpus {
     pairs.unpersist(blocking = false)
     exact.unpersist(blocking = false)
 
-    // 3. quality floor (codegen'd feature projection, no shuffle)
-    val scored = TextAnalysis.qualityFeatures(nearDeduped, textCol)
-      .filter(col("quality_score") >= cfg.minQuality)
-    // 4. language pin — langGuessDf's explode + conditional-sum plan
-    //    (codegen), NOT the per-row langGuess Column whose HOF lambdas
-    //    run interpreted (measured 3.4 s vs 0.6 s at sf0.1); in the
-    //    composed full-corpus pipeline this is the hot path
-    val cleaned = cfg.lang
-      .map(l => TextAnalysis.langGuessDf(scored, idCol, textCol)
-        .filter(col("lang_guess") === l).drop("lang_guess"))
-      .getOrElse(scored)
-      .persist(lvl)
-    val nLang = cleaned.count()
-    val nQuality = cfg.lang.map(_ => scored.count()).getOrElse(nLang)
+    val (cleaned, nDecont, nQuality, nLang, nRedacted) =
+      finishStages(nearDeduped, cfg, idCol, textCol)
     nearDeduped.unpersist(blocking = false)
 
-    (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang))
+    (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang,
+      nDecont, nRedacted))
   }
 
   /** Incremental clean — the daily-append mode: clean ONLY `newDocs`
@@ -143,19 +200,16 @@ object CleanCorpus {
     val nNear = nearDeduped.count()
     pairs.unpersist(blocking = false)
 
-    // 3./4. quality + language — per-row filters, identical to clean()
-    val scored = TextAnalysis.qualityFeatures(nearDeduped, textCol)
-      .filter(col("quality_score") >= cfg.minQuality)
-    val cleaned = cfg.lang
-      .map(l => TextAnalysis.langGuessDf(scored, idCol, textCol)
-        .filter(col("lang_guess") === l).drop("lang_guess"))
-      .getOrElse(scored)
-      .persist(lvl)
-    val nLang = cleaned.count()
-    val nQuality = cfg.lang.map(_ => scored.count()).getOrElse(nLang)
+    // 3.–6. doc-local tail, identical to clean(): each new doc is judged
+    // against the fixed benchmark set / its own text only, so the
+    // verdicts commute with the increment split and full-run
+    // equivalence is preserved
+    val (cleaned, nDecont, nQuality, nLang, nRedacted) =
+      finishStages(nearDeduped, cfg, idCol, textCol)
     nearDeduped.unpersist(blocking = false)
 
-    (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang), exact)
+    (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang,
+      nDecont, nRedacted), exact)
   }
 }
 
@@ -165,8 +219,14 @@ object CleanCorpus {
   *     --input <documents parquet[,more,…]> --output <dir> \
   *     [--min-quality 0.5] [--lang en|none] [--neardup-jaccard 0.8]
   *     [--no-oph]
+  *     [--benchmarks <eval-set parquet with (bench_id, text)>]
+  *     [--decont-ngram 13] [--redact]
   *     [--previous <earlier run's output dir> \
   *      --previous-input <the raw inputs that run (cumulatively) covered>]
+  *
+  * `--benchmarks` switches on benchmark decontamination (docs sharing
+  * any --decont-ngram-gram with an eval doc are dropped); `--redact`
+  * scrubs emails/SSNs/cards/phones/IPs from surviving text in place.
   *
   * Full mode writes `<output>/cleaned` (parquet, original columns +
   * quality features), `<output>/exact_survivor_ids` (the cumulative
@@ -189,7 +249,7 @@ object CleanCorpusMain {
 
   def main(args: Array[String]): Unit = {
     val spark = Cli.session("graft-clean-corpus")
-    run(spark, Cli.parse(args, flags = Set("no-oph")))
+    run(spark, Cli.parse(args, flags = Set("no-oph", "redact")))
     spark.stop()
   }
 
@@ -209,7 +269,10 @@ object CleanCorpusMain {
       minQuality = opts.getOrElse("min-quality", "0.5").toDouble,
       minhash = Dedup.MinHashConfig(
         jaccardThreshold = opts.getOrElse("neardup-jaccard", "0.8").toDouble,
-        oph = !opts.contains("no-oph")))
+        oph = !opts.contains("no-oph")),
+      benchmarks = opts.get("benchmarks").map(p => spark.read.parquet(p)),
+      decontNgram = opts.getOrElse("decont-ngram", "13").toInt,
+      redactPii = opts.contains("redact"))
 
     val counts = opts.get("previous") match {
       case Some(prev) =>

@@ -51,6 +51,40 @@ class CleanCorpusSpec extends AnyFunSuite with SparkFixture {
       "clean() must not strand cached blocks")
   }
 
+  test("optional stages: benchmark decontamination and PII redaction") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val w6 = "the weather today is quite nice and many people are walking " +
+      "outside in the park near the river with their happy children"
+    val docs = Seq(
+      (0L, en),                                   // contaminated vs bench
+      (2L, en2 + " contact me me@example.com"),   // survives, PII scrubbed
+      (6L, w6)                                    // survives untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "over the lazy dog"))
+      .toDF("bench_id", "text")
+    val (cleaned, counts) = CleanCorpus.clean(docs,
+      CleanCorpus.Config(
+        lang = Some("en"), minQuality = 0.5,
+        minhash = Dedup.MinHashConfig(jaccardThreshold = 0.6, bands = 32),
+        benchmarks = Some(bench), decontNgram = 3, redactPii = true))
+    val rows = cleaned.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(2L, 6L), s"survivors: ${rows.keySet}")
+    assert(counts.afterNearDup == 3)
+    assert(counts.afterDecontaminate == Some(2L))
+    assert(counts.afterLang == 2)
+    assert(counts.redactedDocs == Some(1L))
+    assert(rows(2L).contains("[EMAIL]") &&
+      !rows(2L).contains("me@example.com"), s"not scrubbed: ${rows(2L)}")
+    assert(rows(6L) == w6, "redaction must not touch clean text")
+    assert(counts.toJson.contains("\"after_decontaminate\":2") &&
+      counts.toJson.contains("\"redacted_docs\":1"))
+    cleaned.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "optional stages must not strand cached blocks")
+  }
+
   test("CleanCorpusMain writes cleaned parquet + stats.json") {
     val dir = java.nio.file.Files.createTempDirectory("cleancorpus").toString
     corpus.write.mode("overwrite").parquet(s"$dir/in")
@@ -64,5 +98,22 @@ class CleanCorpusSpec extends AnyFunSuite with SparkFixture {
       java.nio.file.Paths.get(s"$dir/out/stats.json"))
     assert(stats.contains("\"input\":7"))
     assert(stats.contains("\"after_lang\":3"))
+
+    // optional-stage flags wire through: a benchmark overlapping doc 0/1
+    // (and 6's near-dup family: none) plus --redact
+    import spark.implicits._
+    Seq((100L, "over the lazy dog")).toDF("bench_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    val counts2 = CleanCorpusMain.run(spark, Map(
+      "input" -> s"$dir/in", "output" -> s"$dir/out2",
+      "neardup-jaccard" -> "0.6", "benchmarks" -> s"$dir/bench",
+      "decont-ngram" -> "3", "redact" -> "true"))
+    assert(counts2.afterDecontaminate == Some(4L)) // doc 0 contaminated
+    assert(counts2.afterLang == 2)
+    assert(counts2.redactedDocs == Some(0L))
+    val stats2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/out2/stats.json"))
+    assert(stats2.contains("\"after_decontaminate\":4"))
+    assert(stats2.contains("\"redacted_docs\":0"))
   }
 }
