@@ -575,6 +575,15 @@ object Queries {
         .select(col("doc_id"), col("n_tokens"), col("quality_score"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition quality signals (dup-word fraction,
+    // duplicated-2-gram character mass, top-2-gram dominance) — all
+    // fractions are integer ratios rounded to 6, so DuckDB reproduces
+    // them exactly; top-gram ties break on the lexicographically
+    // greatest gram in both engines
+    "q_repetition" -> ((s, dir) =>
+      graft.data.TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // benchmark decontamination: training docs sharing any 3-gram with a
     // benchmark set built from deterministic 8-token windows of every
     // 50th doc (value oracle: DuckDB recomputes both gram sets as
@@ -1279,6 +1288,47 @@ object Queries {
                    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
                  FROM documents))
+         ORDER BY doc_id""",
+
+    "q_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, len(toks) AS n_tok,
+                  len(list_distinct(toks)) AS n_uniq,
+                  CASE WHEN len(toks) >= 2
+                    THEN [array_to_string(toks[i:i+1], ' ')
+                          FOR i IN generate_series(1, len(toks) - 1)]
+                    ELSE []::VARCHAR[] END AS grams
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents)
+         ), gc AS (
+           SELECT doc_id, gram, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+           GROUP BY doc_id, gram
+         ), agg AS (
+           SELECT doc_id, sum(cnt * len(gram)) AS total_mass,
+                  sum(CASE WHEN cnt > 1 THEN cnt * len(gram)
+                      ELSE 0 END) AS dup_mass
+           FROM gc GROUP BY doc_id
+         ), top AS (
+           SELECT doc_id, gram AS top_gram, cnt AS top_cnt FROM (
+             SELECT doc_id, gram, cnt, row_number() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+             FROM gc) WHERE rn = 1
+         )
+         SELECT b.doc_id,
+           round(CASE WHEN n_tok > 0
+             THEN 1.0 - CAST(n_uniq AS DOUBLE) / n_tok
+             ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN total_mass > 0
+             THEN CAST(dup_mass AS DOUBLE) / total_mass
+             ELSE 0.0 END, 6) AS dup_ngram_char_frac,
+           coalesce(top_gram, '') AS top_ngram,
+           round(CASE WHEN total_mass > 0
+             THEN CAST(top_cnt * len(top_gram) AS DOUBLE) / total_mass
+             ELSE 0.0 END, 6) AS top_ngram_frac
+         FROM base b
+         LEFT JOIN agg USING (doc_id) LEFT JOIN top USING (doc_id)
          ORDER BY doc_id""",
 
     "q_decontaminate" ->

@@ -137,6 +137,55 @@ object TextAnalysis {
           (when(col("stopword_ratio") > 0.02, 0.1).otherwise(0.0)), 4))
   }
 
+  /** Gopher-style repetition signals per document (the published
+    * quality heuristics a boilerplate/spam filter keys on):
+    *
+    *   - dup_word_frac: 1 − |distinct words| / |words|
+    *   - dup_ngram_char_frac: gram-character mass sitting in n-grams
+    *     that occur more than once, over total gram-character mass
+    *   - top_ngram / top_ngram_frac: the single most frequent n-gram
+    *     (count ties broken by lexicographically GREATEST gram — the
+    *     max of the (count, gram) struct, deterministic) and its share
+    *     of gram-character mass
+    *
+    * Plan shape: explode word n-grams (duplicates KEPT — multiplicity
+    * is the signal) → partial-agg count per (doc, gram) → one per-doc
+    * aggregate with max_by on the (count, gram) struct. Two shuffles of
+    * small rows, everything codegen'd; fractions rounded to 6 so the
+    * cross-engine oracle can't diverge on FP division ulps. Docs with
+    * fewer than n tokens get 0 fractions and an empty top gram. */
+  def repetitionFeatures(docs: DataFrame, n: Int = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val base = docs.select(col(idCol),
+      size(toks).as("_n_tok"), size(array_distinct(toks)).as("_n_uniq"),
+      when(size(toks) >= n, Dedup.wordNgrams(toks, size(toks), n))
+        .otherwise(array().cast("array<string>")).as("_grams"))
+    val gramCounts = base
+      .select(col(idCol), explode(col("_grams")).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val mass = col("cnt") * length(col("gram"))
+    val perDoc = gramCounts.groupBy(col(idCol)).agg(
+      sum(mass).as("_total_mass"),
+      sum(when(col("cnt") > 1, mass).otherwise(0L)).as("_dup_mass"),
+      max_by(col("gram"), struct(col("cnt"), col("gram"))).as("top_ngram"),
+      max(struct(col("cnt"), col("gram"))).getField("cnt").as("_top_cnt"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        round(when(col("_n_tok") > 0,
+          lit(1.0) - col("_n_uniq").cast("double") / col("_n_tok"))
+          .otherwise(0.0), 6).as("dup_word_frac"),
+        round(when(col("_total_mass") > 0,
+          col("_dup_mass").cast("double") / col("_total_mass"))
+          .otherwise(0.0), 6).as("dup_ngram_char_frac"),
+        coalesce(col("top_ngram"), lit("")).as("top_ngram"),
+        round(when(col("_total_mass") > 0,
+          (col("_top_cnt") * length(col("top_ngram"))).cast("double") /
+            col("_total_mass")).otherwise(0.0), 6).as("top_ngram_frac"))
+  }
+
   // ---------- TF-IDF ----------
 
   /** Top-k TF-IDF terms per selected doc. Document frequency is computed

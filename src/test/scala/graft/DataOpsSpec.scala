@@ -201,6 +201,28 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
     dups.unpersist()
   }
 
+  test("repetition features match hand-computed truth incl. tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),          // "a b"×2: dup_word 0.4, masses 12/6
+      (2L, "a b a c a b a c"),    // three grams tied at 2 → "b a" wins
+      (3L, "solo"),               // < n tokens: zero fracs, empty gram
+      (4L, "w x y z")             // all unique: dup fracs 0
+    ).toDF("doc_id", "text")
+    val got = graft.data.TextAnalysis.repetitionFeatures(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getString(3),
+          r.getDouble(4)))).toMap
+    assert(got(1L) == ((0.4, 0.5, "a b", 0.5)), s"doc1: ${got(1L)}")
+    // doc2 grams: "a b"×2 "b a"×2 "a c"×2 "c a"×1; mass 21, dup 18;
+    // top tie at cnt 2 → lexicographically greatest "b a"; 6/21
+    assert(got(2L) == ((0.625, 0.857143, "b a", 0.285714)),
+      s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0.0, 0.0, "", 0.0)), s"doc3: ${got(3L)}")
+    // no repeats: top gram is the lexicographically greatest 1-count gram
+    assert(got(4L) == ((0.0, 0.0, "y z", 0.333333)), s"doc4: ${got(4L)}")
+  }
+
   test("ngram jaccard verification is exact") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"),
