@@ -23,7 +23,17 @@ object Decontaminate {
 
   /** Contamination evidence: one row per (training doc, benchmark doc)
     * pair sharing >= `minHits` distinct n-grams, with the shared count.
-    * Columns: idCol, benchIdCol, shared_grams. */
+    * Columns: idCol, benchIdCol, shared_grams.
+    *
+    * Shuffle discipline: the corpus-side gram relation is NOT
+    * pre-deduplicated — a distinct there is a full shuffle of every
+    * gram in the corpus before a join that discards almost all of them.
+    * Instead the raw exploded grams stream straight into the broadcast
+    * join, and the (doc, bench, gram) dedup that keeps repeated grams
+    * from inflating shared counts runs AFTER it, over only the matching
+    * rows (tiny). The corpus scan therefore reaches the join with zero
+    * exchanges; the benchmark side (an eval set) is hashed once per
+    * executor. */
   def contaminationReport(docs: DataFrame, bench: DataFrame,
                           n: Int = 13, minHits: Long = 1L,
                           idCol: String = "doc_id",
@@ -31,10 +41,15 @@ object Decontaminate {
                           benchIdCol: String = "bench_id",
                           benchTextCol: String = "text",
                           broadcastBench: Boolean = true): DataFrame = {
-    val docGrams = Dedup.explodedShingles(docs, idCol, textCol, n)
+    val docGrams = docs.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("_gram"))
+      .select(col(idCol), xxhash64(col("_gram")).as("shingle"))
+    // the benchmark side IS deduplicated (it's small, and a duplicated
+    // bench gram would double-count a single shared gram)
     val bg = Dedup.explodedShingles(bench, benchIdCol, benchTextCol, n)
     val benchGrams = if (broadcastBench) broadcast(bg) else bg
     docGrams.join(benchGrams, "shingle")
+      .select(col(idCol), col(benchIdCol), col("shingle")).distinct()
       .groupBy(col(idCol), col(benchIdCol))
       .agg(count(lit(1)).as("shared_grams"))
       .filter(col("shared_grams") >= minHits)

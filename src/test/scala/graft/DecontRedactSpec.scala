@@ -73,6 +73,13 @@ class DecontRedactSpec extends AnyFunSuite with SparkFixture {
       s"broadcast hint missing from optimized plan:\n$hinted")
     assert(!unhinted.toLowerCase.contains("broadcast"),
       s"broadcastBench=false must not plant a broadcast hint:\n$unhinted")
+    // corpus grams must stream into the join UN-deduplicated: the only
+    // shuffles are the bench-side distinct (tiny, under the broadcast),
+    // the post-join (doc, bench, gram) distinct and the final count agg
+    // — a corpus-wide gram distinct before the join would add a fourth
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"corpus-side shuffle before the broadcast join ($exchanges):\n$plan")
   }
 
   test("redaction goldens cover all five classes and ordering traps") {
