@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Training-corpus cleaning pipeline — the composition the individual
   * data ops exist for: exact dedup → MinHash near-dup dedup → benchmark
-  * decontamination (optional) → quality filter → language filter → PII
-  * redaction (optional), with per-stage survivor counts. Each stage is
+  * decontamination (optional) → repetition ceiling (optional) → quality
+  * filter → language filter → PII redaction (optional), with per-stage
+  * survivor counts. Each stage is
   * the library operator (Dedup / Decontaminate / TextAnalysis / Redact),
   * so every plan-shape property those carry (join-back exact dedup,
   * banded LSH + exact verify, broadcast benchmark grams, codegen'd
@@ -36,16 +37,24 @@ object CleanCorpus {
       benchIdCol: String = "bench_id",
       /** scrub emails/SSNs/cards/phones/IPs from surviving text
         * (Redact.redactText in place — schema unchanged) */
-      redactPii: Boolean = false)
+      redactPii: Boolean = false,
+      /** Gopher-style repetition ceiling — when set, docs whose
+        * duplicated-`repNgram`-gram character mass exceeds this
+        * fraction are dropped (TextAnalysis.repetitionFeatures) */
+      maxDupNgramFrac: Option[Double] = None,
+      repNgram: Int = 2)
 
   case class StageCounts(input: Long, afterExact: Long, afterNearDup: Long,
                          afterQuality: Long, afterLang: Long,
                          afterDecontaminate: Option[Long] = None,
-                         redactedDocs: Option[Long] = None) {
+                         redactedDocs: Option[Long] = None,
+                         afterRepetition: Option[Long] = None) {
     def toJson: String =
       s"""{"input":$input,"after_exact_dedup":$afterExact,""" +
       s""""after_neardup":$afterNearDup,""" +
       afterDecontaminate.map(n => s""""after_decontaminate":$n,""")
+        .getOrElse("") +
+      afterRepetition.map(n => s""""after_repetition":$n,""")
         .getOrElse("") +
       s""""after_quality":$afterQuality,"after_lang":$afterLang""" +
       redactedDocs.map(n => s""","redacted_docs":$n""").getOrElse("") +
@@ -53,14 +62,15 @@ object CleanCorpus {
   }
 
   /** Doc-local stage tail shared by [[clean]] and [[cleanIncremental]]:
-    * optional decontamination → quality floor → language pin → optional
-    * redaction. Returns (persisted cleaned frame,
-    * afterDecontaminate, afterQuality, afterLang, redactedDocs).
-    * `nearDeduped` must be persisted by the caller (this tail consumes
-    * it up to three times when every option is on). */
+    * optional decontamination → optional repetition ceiling → quality
+    * floor → language pin → optional redaction. Returns (persisted
+    * cleaned frame, afterDecontaminate, afterRepetition, afterQuality,
+    * afterLang, redactedDocs). `nearDeduped` must be persisted by the
+    * caller (this tail consumes it several times when options are on). */
   private def finishStages(nearDeduped: DataFrame, cfg: Config,
                            idCol: String, textCol: String)
-      : (DataFrame, Option[Long], Long, Long, Option[Long]) = {
+      : (DataFrame, Option[Long], Option[Long], Long, Long,
+         Option[Long]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // 3. benchmark decontamination (optional; benchmark grams broadcast)
     val decont = cfg.benchmarks
@@ -69,8 +79,18 @@ object CleanCorpus {
         benchIdCol = cfg.benchIdCol, benchTextCol = textCol).persist(lvl))
       .getOrElse(nearDeduped)
     val nDecont = cfg.benchmarks.map(_ => decont.count())
+    // 3b. repetition ceiling (optional, Gopher-style): drop docs whose
+    //     duplicated-n-gram character mass exceeds the threshold
+    val repOk = cfg.maxDupNgramFrac
+      .map(t => decont.join(
+        TextAnalysis.repetitionFeatures(decont, cfg.repNgram, idCol,
+            textCol)
+          .filter(col("dup_ngram_char_frac") <= t).select(idCol),
+        Seq(idCol), "left_semi").persist(lvl))
+      .getOrElse(decont)
+    val nRep = cfg.maxDupNgramFrac.map(_ => repOk.count())
     // 4. quality floor (codegen'd feature projection, no shuffle)
-    val scored = TextAnalysis.qualityFeatures(decont, textCol)
+    val scored = TextAnalysis.qualityFeatures(repOk, textCol)
       .filter(col("quality_score") >= cfg.minQuality)
     // 5. language pin — langGuessDf's explode + conditional-sum plan
     //    (codegen), NOT the per-row langGuess Column whose HOF lambdas
@@ -93,8 +113,9 @@ object CleanCorpus {
       Some(pinned
         .filter(Redact.redactText(col(textCol)) =!= col(textCol)).count())
     else None
+    cfg.maxDupNgramFrac.foreach(_ => repOk.unpersist(blocking = false))
     cfg.benchmarks.foreach(_ => decont.unpersist(blocking = false))
-    (cleaned, nDecont, nQuality, nLang, nRedacted)
+    (cleaned, nDecont, nRep, nQuality, nLang, nRedacted)
   }
 
   /** Returns (cleaned docs with quality columns attached, stage counts).
@@ -120,12 +141,12 @@ object CleanCorpus {
     pairs.unpersist(blocking = false)
     exact.unpersist(blocking = false)
 
-    val (cleaned, nDecont, nQuality, nLang, nRedacted) =
+    val (cleaned, nDecont, nRep, nQuality, nLang, nRedacted) =
       finishStages(nearDeduped, cfg, idCol, textCol)
     nearDeduped.unpersist(blocking = false)
 
     (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang,
-      nDecont, nRedacted))
+      nDecont, nRedacted, nRep))
   }
 
   /** Incremental clean — the daily-append mode: clean ONLY `newDocs`
@@ -204,12 +225,12 @@ object CleanCorpus {
     // against the fixed benchmark set / its own text only, so the
     // verdicts commute with the increment split and full-run
     // equivalence is preserved
-    val (cleaned, nDecont, nQuality, nLang, nRedacted) =
+    val (cleaned, nDecont, nRep, nQuality, nLang, nRedacted) =
       finishStages(nearDeduped, cfg, idCol, textCol)
     nearDeduped.unpersist(blocking = false)
 
     (cleaned, StageCounts(nIn, nExact, nNear, nQuality, nLang,
-      nDecont, nRedacted), exact)
+      nDecont, nRedacted, nRep), exact)
   }
 }
 
@@ -221,12 +242,15 @@ object CleanCorpus {
   *     [--no-oph]
   *     [--benchmarks <eval-set parquet with (bench_id, text)>]
   *     [--decont-ngram 13] [--redact]
+  *     [--max-dup-ngram-frac 0.3] [--rep-ngram 2]
   *     [--previous <earlier run's output dir> \
   *      --previous-input <the raw inputs that run (cumulatively) covered>]
   *
   * `--benchmarks` switches on benchmark decontamination (docs sharing
   * any --decont-ngram-gram with an eval doc are dropped); `--redact`
-  * scrubs emails/SSNs/cards/phones/IPs from surviving text in place.
+  * scrubs emails/SSNs/cards/phones/IPs from surviving text in place;
+  * `--max-dup-ngram-frac` drops docs whose duplicated-n-gram character
+  * mass exceeds the given fraction (Gopher-style repetition ceiling).
   *
   * Full mode writes `<output>/cleaned` (parquet, original columns +
   * quality features), `<output>/exact_survivor_ids` (the cumulative
@@ -272,7 +296,9 @@ object CleanCorpusMain {
         oph = !opts.contains("no-oph")),
       benchmarks = opts.get("benchmarks").map(p => spark.read.parquet(p)),
       decontNgram = opts.getOrElse("decont-ngram", "13").toInt,
-      redactPii = opts.contains("redact"))
+      redactPii = opts.contains("redact"),
+      maxDupNgramFrac = opts.get("max-dup-ngram-frac").map(_.toDouble),
+      repNgram = opts.getOrElse("rep-ngram", "2").toInt)
 
     val counts = opts.get("previous") match {
       case Some(prev) =>

@@ -59,7 +59,8 @@ class CleanCorpusSpec extends AnyFunSuite with SparkFixture {
     val docs = Seq(
       (0L, en),                                   // contaminated vs bench
       (2L, en2 + " contact me me@example.com"),   // survives, PII scrubbed
-      (6L, w6)                                    // survives untouched
+      (6L, w6),                                   // survives untouched
+      (8L, Seq.fill(10)("spam").mkString(" "))    // repetition ceiling
     ).toDF("doc_id", "text")
     val bench = Seq((100L, "over the lazy dog"))
       .toDF("bench_id", "text")
@@ -67,18 +68,21 @@ class CleanCorpusSpec extends AnyFunSuite with SparkFixture {
       CleanCorpus.Config(
         lang = Some("en"), minQuality = 0.5,
         minhash = Dedup.MinHashConfig(jaccardThreshold = 0.6, bands = 32),
-        benchmarks = Some(bench), decontNgram = 3, redactPii = true))
+        benchmarks = Some(bench), decontNgram = 3, redactPii = true,
+        maxDupNgramFrac = Some(0.3)))
     val rows = cleaned.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.keySet == Set(2L, 6L), s"survivors: ${rows.keySet}")
-    assert(counts.afterNearDup == 3)
-    assert(counts.afterDecontaminate == Some(2L))
+    assert(counts.afterNearDup == 4)
+    assert(counts.afterDecontaminate == Some(3L))
+    assert(counts.afterRepetition == Some(2L))
     assert(counts.afterLang == 2)
     assert(counts.redactedDocs == Some(1L))
     assert(rows(2L).contains("[EMAIL]") &&
       !rows(2L).contains("me@example.com"), s"not scrubbed: ${rows(2L)}")
     assert(rows(6L) == w6, "redaction must not touch clean text")
-    assert(counts.toJson.contains("\"after_decontaminate\":2") &&
+    assert(counts.toJson.contains("\"after_decontaminate\":3") &&
+      counts.toJson.contains("\"after_repetition\":2") &&
       counts.toJson.contains("\"redacted_docs\":1"))
     cleaned.unpersist()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
