@@ -33,6 +33,9 @@ object Bench {
       // size + small min partition size keep task count ≥ parallelism.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // cap plan-STRING rendering (log/UI only): deep composed trees
+      // under the ~2 GB default can OOM just building an explain string
+      .config("spark.sql.maxPlanStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -66,7 +66,20 @@ object CleanCorpus {
     * floor → language pin → optional redaction. Returns (persisted
     * cleaned frame, afterDecontaminate, afterRepetition, afterQuality,
     * afterLang, redactedDocs). `nearDeduped` must be persisted by the
-    * caller (this tail consumes it several times when options are on). */
+    * caller (this tail consumes it several times when options are on).
+    *
+    * The optional stage outputs are localCheckpoint'd, NOT persisted:
+    * each downstream stage references its input subtree 2–4× (dedup
+    * anti-join + report, repetition base + counts + semi-join, lang
+    * base + hits, redact audit), so with plain persists the LOGICAL
+    * tree multiplies ~50× across the tail — measured a 1.25 GB plan
+    * string whose mere rendering OOM'd an 8 GB driver, plus minutes of
+    * optimizer walk over duplicated subtrees. Checkpointing truncates
+    * the lineage at each stage boundary, keeping every downstream plan
+    * anchored on a flat scan. The checkpoint blocks are released before
+    * return (cleaned is materialized first); a later lost block of
+    * `cleaned` therefore cannot recompute through the released stage —
+    * the same documented trade the near-dup sink makes. */
   private def finishStages(nearDeduped: DataFrame, cfg: Config,
                            idCol: String, textCol: String)
       : (DataFrame, Option[Long], Option[Long], Long, Long,
@@ -76,7 +89,8 @@ object CleanCorpus {
     val decont = cfg.benchmarks
       .map(bench => Decontaminate.decontaminate(nearDeduped, bench,
         cfg.decontNgram, idCol = idCol, textCol = textCol,
-        benchIdCol = cfg.benchIdCol, benchTextCol = textCol).persist(lvl))
+        benchIdCol = cfg.benchIdCol, benchTextCol = textCol)
+        .localCheckpoint())
       .getOrElse(nearDeduped)
     val nDecont = cfg.benchmarks.map(_ => decont.count())
     // 3b. repetition ceiling (optional, Gopher-style): drop docs whose
@@ -86,7 +100,7 @@ object CleanCorpus {
         TextAnalysis.repetitionFeatures(decont, cfg.repNgram, idCol,
             textCol)
           .filter(col("dup_ngram_char_frac") <= t).select(idCol),
-        Seq(idCol), "left_semi").persist(lvl))
+        Seq(idCol), "left_semi").localCheckpoint())
       .getOrElse(decont)
     val nRep = cfg.maxDupNgramFrac.map(_ => repOk.count())
     // 4. quality floor (codegen'd feature projection, no shuffle)
@@ -113,8 +127,11 @@ object CleanCorpus {
       Some(pinned
         .filter(Redact.redactText(col(textCol)) =!= col(textCol)).count())
     else None
-    cfg.maxDupNgramFrac.foreach(_ => repOk.unpersist(blocking = false))
-    cfg.benchmarks.foreach(_ => decont.unpersist(blocking = false))
+    // release the stage checkpoints (cleaned is materialized above and
+    // every audit count is done — nothing reads them again)
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    cfg.maxDupNgramFrac.foreach(_ => DatasetBridge.releaseCheckpoint(repOk))
+    cfg.benchmarks.foreach(_ => DatasetBridge.releaseCheckpoint(decont))
     (cleaned, nDecont, nRep, nQuality, nLang, nRedacted)
   }
 

@@ -37,6 +37,11 @@ private[graft] object Cli {
     val builder = SparkSession.builder()
       .appName(name)
       .config("spark.sql.session.timeZone", "UTC")
+      // plan-STRING rendering cap: composed pipelines (CleanCorpus with
+      // every optional stage) reference persisted subtrees several times
+      // each, and the default ~2 GB cap let a single AQE explain-string
+      // render OOM an 8 GB driver. Affects only log/UI strings.
+      .config("spark.sql.maxPlanStringLength", "100000")
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

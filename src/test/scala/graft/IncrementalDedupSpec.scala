@@ -90,6 +90,65 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkFixture {
     viaStore.unpersist(); viaRecompute.unpersist()
   }
 
+  test("incremental == full clean with ALL optional stages on") {
+    import spark.implicits._
+    // benchmark window cut from a slice-1 doc whose text also lives in
+    // slice 2 (base.drop(20) + " novel") — contamination must hit BOTH
+    // increments identically to the full run
+    val window = d1.filter(col("doc_id") === 120L).head().getString(1)
+      .split(" ").take(6).mkString(" ")
+    val bench = Seq((9000L, window)).toDF("bench_id", "text")
+    val rnd = new scala.util.Random(99)
+    val filler = Array.fill(30)(words(rnd.nextInt(words.length)))
+      .mkString(" ")
+    val p2 = d2.unionByName(Seq(
+      (1950L, s"please reach me at bob@corp.io soon $filler"))
+      .toDF("doc_id", "text"))
+    val ccfg = CleanCorpus.Config(lang = None, minhash = cfg,
+      benchmarks = Some(bench), decontNgram = 3,
+      maxDupNgramFrac = Some(0.5), redactPii = true)
+    val all = d1.unionByName(p2).unionByName(d3)
+
+    val (full, fullCounts) = CleanCorpus.clean(all, ccfg)
+    val fullRows = full.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    full.unpersist()
+    assert(fullCounts.afterDecontaminate.get < fullCounts.afterNearDup,
+      "benchmark must contaminate at least one doc")
+    assert(fullCounts.redactedDocs.get >= 1L,
+      "the planted email doc must be scrubbed")
+
+    // incremental replay: full clean of slice 1, then two increments.
+    // localCheckpoint between increments breaks the compounding lineage
+    // (the CLI path breaks it by writing parquet) — without it the
+    // increment-2 plan tree is big enough that merely RENDERING its
+    // explain string OOMs the test JVM
+    val (c1, _) = CleanCorpus.clean(d1, ccfg)
+    val exact1 = d1.join(Dedup.exact(d1)
+      .filter(col("doc_id") === col("keeper")).select("doc_id"),
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    val (c2, _, e2) = CleanCorpus.cleanIncremental(exact1, p2, ccfg)
+    val exact12 = exact1.unionByName(e2.select("doc_id", "text"))
+      .localCheckpoint()
+    val (c3, _, e3) = CleanCorpus.cleanIncremental(exact12, d3, ccfg)
+    val incRows = (c1.select("doc_id", "text").collect() ++
+      c2.select("doc_id", "text").collect() ++
+      c3.select("doc_id", "text").collect())
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(c1, c2, c3, e2, e3).foreach(_.unpersist())
+
+    assert(incRows.keySet == fullRows.keySet,
+      s"missing=${fullRows.keySet -- incRows.keySet} " +
+        s"extra=${incRows.keySet -- fullRows.keySet}")
+    incRows.foreach { case (id, text) =>
+      assert(text == fullRows(id), s"doc $id text diverged")
+    }
+    assert(incRows.get(1950L).exists(t =>
+      t.contains("[EMAIL]") && !t.contains("bob@corp.io")),
+      s"increment must scrub the planted email: ${incRows.get(1950L)}")
+    assert(!incRows.contains(120L), "windowed doc must be contaminated")
+  }
+
   test("CleanCorpus --previous over 2 increments == one full clean") {
     import spark.implicits._
     val ccfg = CleanCorpus.Config(

@@ -17,6 +17,10 @@ object SparkFixture {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // cap plan-STRING rendering: deep composed-pipeline trees
+      // (CleanCorpus all-options) OOM'd the heap merely rendering an
+      // AQE explain string under the ~2 GB default
+      .config("spark.sql.maxPlanStringLength", "100000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
