@@ -623,6 +623,47 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // substring-granularity dedup (Lee et al. 50-token-span shape at
+    // width 8 for this corpus): duplicate word-windows removed globally
+    // keep-first, docs reassembled from surviving spans. md5 hash
+    // variant so DuckDB replays the identical keep decisions (library
+    // default xxhash64; DataOpsSpec proves hash-agnostic semantics).
+    "q_span_dedup" -> ((s, dir) => {
+      val md5h = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      graft.data.Dedup.dedupSpans(t(s, dir, "documents"), width = 8,
+          hash = md5h)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic domain-weighted sampling (data mixing): keep rates
+    // per source via the md5-bucket arithmetic DuckDB replays exactly;
+    // the kept (doc_id, source, mix_bucket) rows ARE the value check
+    "q_mix_sample" -> ((s, dir) => {
+      val md5h = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val docs = t(s, dir, "documents")
+      graft.data.Mix.sampleByDomain(docs,
+          weights = Map("src0" -> 0.9, "src3" -> 0.25, "src7" -> 0.0),
+          defaultWeight = 0.6, seed = 7L, hash = md5h)
+        .select(col("doc_id"), col("source"),
+          graft.data.Mix.mixBucket(col("doc_id"), 7L, md5h)
+            .as("mix_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-epoch deterministic global shuffle order — oracles the
+    // Positions range+zipWithIndex kernel against DuckDB row_number
+    // over the same hash ordering
+    "q_epoch_order" -> ((s, dir) => {
+      val md5h = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      graft.data.Mix.epochOrder(t(s, dir, "documents"), epoch = 2,
+          seed = 7L, hash = md5h)
+        .select(col("doc_id"), col("epoch_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing-style fingerprints over documents — md5 hash variant so
     // DuckDB can recompute the min-5-gram fingerprint value-for-value.
     // The md5-per-gram cost is oracle-only (the at-scale path is
@@ -1399,6 +1440,67 @@ object Queries {
            CAST(len(regexp_extract_all(text,
              '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip
          FROM planted
+         ORDER BY doc_id""",
+
+    "q_span_dedup" ->
+      """WITH sarrs AS (
+           SELECT doc_id,
+             [array_to_string(toks[(p-1)*8+1 : p*8], ' ')
+              FOR p IN generate_series(1,
+                CAST(ceil(len(toks)::DOUBLE / 8) AS BIGINT))] AS sarr
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents)
+         ), spans AS (
+           SELECT doc_id, unnest(generate_series(1, len(sarr))) - 1 AS pos,
+                  unnest(sarr) AS span
+           FROM sarrs
+         ), hashed AS (
+           SELECT doc_id, pos,
+                  ('0x' || substring(md5(span), 1, 15))::BIGINT AS h
+           FROM spans
+         ), keepers AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, row_number() OVER (
+               PARTITION BY h ORDER BY doc_id, pos) AS rn
+             FROM hashed) WHERE rn = 1
+         ), kept AS (
+           SELECT s.doc_id, s.pos, s.span
+           FROM spans s JOIN keepers k USING (doc_id, pos)
+         ), rebuilt AS (
+           SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id
+         ), nsp AS (
+           SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+         )
+         SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                CAST(n.n_spans - coalesce(r.n_kept, 0) AS BIGINT)
+                  AS n_removed
+         FROM documents d JOIN nsp n USING (doc_id)
+         LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY doc_id""",
+
+    "q_mix_sample" ->
+      """SELECT doc_id, source,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
+             1, 15))::BIGINT % 1000000 AS mix_bucket
+         FROM documents
+         WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),
+             1, 15))::BIGINT % 1000000 <
+           CASE source WHEN 'src0' THEN 900000 WHEN 'src3' THEN 250000
+             WHEN 'src7' THEN 0 ELSE 600000 END
+         ORDER BY doc_id""",
+
+    "q_epoch_order" ->
+      """SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+             AS epoch_pos
+         FROM (SELECT doc_id,
+                 ('0x' || substring(md5(
+                   CAST(doc_id AS VARCHAR) || ':7:2'), 1, 15))::BIGINT AS h
+               FROM documents)
          ORDER BY doc_id""",
 
     "q_fingerprints" ->

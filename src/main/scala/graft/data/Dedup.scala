@@ -523,4 +523,70 @@ object Dedup {
     sigRel.unpersist(blocking = false)
     p
   }
+
+  // ---------- span-level (substring) dedup ----------
+
+  /** Array of NON-overlapping `width`-word spans of a text (the last
+    * span keeps whatever remains); texts shorter than `width` words are
+    * one whole-text span. Pure per-row projection. */
+  private[graft] def spanArray(textCol: Column, width: Int): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    val nspans = ceil(size(toks).cast("double") / width).cast("int")
+    transform(sequence(lit(0), nspans - 1),
+      p => array_join(slice(toks, p * width + 1, lit(width)), " "))
+  }
+
+  /** Duplicate-SPAN removal — the substring-granularity dedup of public
+    * LLM pipelines (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" remove repeated 50-token substrings;
+    * C4/Dolma drop repeated paragraphs/three-sentence spans). Whole-doc
+    * dedup ([[exact]], [[minHashNearDups]]) misses boilerplate repeated
+    * INSIDE otherwise-distinct documents — license headers, navigation
+    * chrome, quoted chain-mail — which this pass removes span-by-span.
+    *
+    * Semantics: the corpus is cut into non-overlapping `width`-word
+    * spans; of all occurrences of an identical span (by `hash`), only
+    * the globally FIRST in (id, pos) order survives — including repeats
+    * within one document. Each doc is reassembled from its surviving
+    * spans in original order. Returns one row per input doc:
+    * (id, clean_text, n_kept, n_removed).
+    *
+    * Scale shape — the span STRINGS never cross an exchange:
+    *  1. a narrow (id, pos, h) relation (24 B/row) is projected per-row
+    *     (span text hashed immediately above its explode and dropped);
+    *  2. keep-first = one groupBy(h) with a map-side partial min —
+    *     a degenerate flood of identical spans (billions of empty docs)
+    *     partial-aggregates per task instead of skewing a join (the
+    *     [[exact]] join-back's AQE case doesn't even arise);
+    *  3. surviving positions fold to one array per doc (groupBy id,
+    *     narrow), join back to the corpus on its unique id, and each
+    *     doc re-derives its spans per-row, keeping those whose index
+    *     is in its kept set.
+    * Two narrow shuffles plus one corpus⋈narrow join on unique ids —
+    * no fat rows, no skewed joins, no windows. `hash` collisions merge
+    * distinct spans at 2⁻⁶⁴ per pair (xxhash64 default; pass md5-based
+    * for cross-engine replay, q_span_dedup). */
+  def dedupSpans(docs: DataFrame, width: Int = 50,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(width >= 1, s"width must be positive, got $width")
+    val sarr = spanArray(col(textCol), width)
+    val hashed = docs
+      .select(col(idCol), posexplode(sarr).as(Seq("pos", "span")))
+      .select(col(idCol), col("pos"), hash(col("span")).as("h"))
+    val keepers = hashed.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("k"))
+      .select(col("k").getField(idCol).as(idCol),
+        col("k").getField("pos").as("pos"))
+    val keptPos = keepers.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("kept_pos"))
+    docs.join(keptPos, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(sarr,
+          (s, i) => array_contains(col("kept_pos"), i)), " ")
+          .as("clean_text"),
+        coalesce(size(col("kept_pos")), lit(0)).cast("long").as("n_kept"),
+        (size(sarr) - coalesce(size(col("kept_pos")), lit(0))).cast("long")
+          .as("n_removed"))
+  }
 }

@@ -30,6 +30,43 @@ class DataOpsSpec extends AnyFunSuite with SparkFixture {
     (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
   }
 
+  test("span dedup removes repeated windows keep-first and reassembles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // spans at w=4: "a b c d" | "e f g h"
+      (2L, "a b c d x y z w"), // first span duplicates doc 1 pos 0
+      (3L, "p q r s p q r s p q r s"), // within-doc repetition
+      (4L, "short"), // single whole-text span
+      (5L, "short") // duplicate of doc 4's only span
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, width = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f g h", 2L, 0L)))
+    assert(out(2L) == (("x y z w", 1L, 1L)))
+    assert(out(3L) == (("p q r s", 1L, 2L)))
+    assert(out(4L) == (("short", 1L, 0L)))
+    assert(out(5L) == (("", 0L, 1L)))
+  }
+
+  test("span dedup decisions are hash-agnostic (xxhash64 = md5 variant)") {
+    val md5h = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def run(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.dedupSpans(corpus, width = 8, hash = h)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val a = run(xxhash64(_))
+    assert(a == run(md5h))
+    // the near-dup family shares unchanged spans: dups lose them
+    val byId = a.map(r => r._1 -> r._4).toMap
+    assert((0 until 20).forall(i => byId(1000L + i) >= 2),
+      "near-dup docs should lose their unchanged spans")
+    assert(byId(2000L) + byId(2001L) >= 10,
+      "exact dups should be removed nearly whole")
+  }
+
   test("exact dedup groups identical texts under min id") {
     val out = Dedup.exact(corpus).filter(col("group_size") > 1)
     val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
