@@ -652,6 +652,19 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // domain-weighted deterministic repetition (upsampling): floor(f)
+    // copies + one fractional copy by the md5-bucket rule DuckDB
+    // replays; the (doc_id, source, copy_idx) rows ARE the value check
+    "q_mix_repeat" -> ((s, dir) => {
+      val md5h = (c: Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      graft.data.Mix.repeatByDomain(t(s, dir, "documents"),
+          factors = Map("src1" -> 2.0, "src4" -> 1.5, "src6" -> 0.25),
+          defaultFactor = 1.0, seed = 7L, hash = md5h)
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // per-epoch deterministic global shuffle order — oracles the
     // Positions range+zipWithIndex kernel against DuckDB row_number
     // over the same hash ordering
@@ -1492,6 +1505,23 @@ object Queries {
            CASE source WHEN 'src0' THEN 900000 WHEN 'src3' THEN 250000
              WHEN 'src7' THEN 0 ELSE 600000 END
          ORDER BY doc_id""",
+
+    "q_mix_repeat" ->
+      """WITH n AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src1' THEN 2 WHEN 'src4' THEN 1
+               WHEN 'src6' THEN 0 ELSE 1 END
+             + CASE WHEN ('0x' || substring(md5(
+                 CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                 % 1000000 <
+               CASE source WHEN 'src1' THEN 0 WHEN 'src4' THEN 500000
+                 WHEN 'src6' THEN 250000 ELSE 0 END
+               THEN 1 ELSE 0 END AS n
+           FROM documents)
+         SELECT doc_id, source,
+                unnest(generate_series(0, n - 1)) AS copy_idx
+         FROM n WHERE n > 0
+         ORDER BY doc_id, copy_idx""",
 
     "q_epoch_order" ->
       """SELECT doc_id,

@@ -37,8 +37,8 @@ object Mix {
     * (single dict-lookup semantics, cheap literal branches) and the
     * whole op is a codegen'd filter — zero shuffle, linear in the scan,
     * trivially parallel at any corpus size. Upsampling (weight > 1)
-    * is deliberately out of scope: repetition is an epoch-schedule
-    * concern ([[epochOrder]]), not a filter. */
+    * is deliberately out of scope for the FILTER — [[repeatByDomain]]
+    * handles factors above 1 by emitting copies. */
   def sampleByDomain(docs: DataFrame, weights: Map[String, Double],
                      defaultWeight: Double = 1.0,
                      domainCol: String = "source",
@@ -55,6 +55,46 @@ object Mix {
         when(col(domainCol) === d, toThresh(w)).otherwise(acc)
       }
     docs.filter(mixBucket(col(idCol), seed, hash) < thresh)
+  }
+
+  /** Domain-weighted deterministic REPETITION — the upsampling half of
+    * data mixing ("see code 2.5× per epoch, forums 0.3×"). Each doc
+    * gets `floor(f)` copies plus one more iff
+    * mixBucket < frac(f)·Buckets, so E[copies] = f exactly and every
+    * decision is the same pure function of (id, seed) as
+    * [[sampleByDomain]] (which this subsumes at f < 1). Output repeats
+    * each surviving input row with `copy_idx` = 0..n-1 appended —
+    * downstream epoch shuffling should rank by (id, copy_idx) so
+    * copies land apart (see [[epochOrder]]'s orderBy contract).
+    *
+    * Scale shape: a codegen'd CaseWhen pair (integer base + fractional
+    * threshold, both driver-computed literals so no FP divergence
+    * across engines) and ONE narrow explode — zero shuffle, output
+    * linear in Σf·|domain|. Factors are capped at [0, 100]: repetition
+    * beyond ~a few× is an epoch-schedule smell, and the cap bounds a
+    * fat-finger explode amplification. */
+  def repeatByDomain(docs: DataFrame, factors: Map[String, Double],
+                     defaultFactor: Double = 1.0,
+                     domainCol: String = "source",
+                     idCol: String = "doc_id", seed: Long = 42L,
+                     hash: Column => Column = xxhash64(_)): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(f =>
+      f >= 0.0 && f <= 100.0),
+      s"factors must be in [0, 100]: $factors default=$defaultFactor")
+    def pick(lift: Double => Column): Column =
+      factors.toSeq.sortBy(_._1)
+        .foldRight(lift(defaultFactor)) { case ((d, f), acc) =>
+          when(col(domainCol) === d, lift(f)).otherwise(acc)
+        }
+    val base = pick(f => lit(math.floor(f).toLong))
+    val thresh = pick(f => lit(math.round((f - math.floor(f)) * Buckets)))
+    val n = base +
+      (mixBucket(col(idCol), seed, hash) < thresh).cast("long")
+    docs.withColumn("_n_copies", n)
+      .filter(col("_n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("_n_copies") - 1)))
+      .drop("_n_copies")
   }
 
   /** Deterministic global shuffle order for one training epoch: adds

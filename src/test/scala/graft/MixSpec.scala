@@ -50,6 +50,49 @@ class MixSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("repeatByDomain emits floor(f) copies plus the fractional rule") {
+    val factors = Map("s0" -> 0.0, "s1" -> 2.0, "s2" -> 1.5)
+    val out = Mix.repeatByDomain(docs, factors, defaultFactor = 1.0,
+        seed = 11L)
+      .select(col("doc_id"), col("source"), col("copy_idx")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val copies = out.groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySource.contains("s0"), "factor 0 must drop every row")
+    assert(bySource("s1") == 100, "factor 2 must emit exactly 2 copies")
+    // every emitted doc numbers its copies 0..n-1
+    assert(copies.values.forall(c => c == (0L until c.length)))
+    // the fractional copy is exactly the bucket rule, independently
+    val buckets = docs.select(col("doc_id"), col("source"),
+        Mix.mixBucket(col("doc_id"), 11L).as("b")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = buckets.flatMap { case (id, s, b) =>
+      val f = factors.getOrElse(s, 1.0)
+      val n = math.floor(f).toLong +
+        (if (b < math.round((f - math.floor(f)) * Mix.Buckets)) 1L else 0L)
+      (0L until n).map(c => (id, s, c))
+    }.toSet
+    assert(out.toSet == expected)
+    // subsumes sampling at f < 1: same kept set as sampleByDomain
+    val sampled = Mix.sampleByDomain(docs, Map("s2" -> 0.5),
+        defaultWeight = 1.0, seed = 11L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val repeated = Mix.repeatByDomain(docs, Map("s2" -> 0.5),
+        defaultFactor = 1.0, seed = 11L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(repeated == sampled)
+  }
+
+  test("repeatByDomain refuses factors outside [0, 100]") {
+    intercept[IllegalArgumentException] {
+      Mix.repeatByDomain(docs, factors = Map("s0" -> -0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Mix.repeatByDomain(docs, factors = Map("s0" -> 101.0))
+    }
+  }
+
   test("epochOrder is a stable per-epoch permutation") {
     def run(epoch: Int) = Mix.epochOrder(docs, epoch, seed = 11L)
       .select(col("doc_id"), col("epoch_pos")).collect()
