@@ -19,6 +19,48 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Table reader with scan-parallelism repair for COMPUTE-HEAVY readers
+    * (optimization guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"): the sf test tables are
+    * SINGLE parquet files far below spark.sql.files.maxPartitionBytes,
+    * so every scan plans as ONE task and all map-side compute (tokenize
+    * / shingle / hash / partial agg — the expensive part of every text
+    * query) ran single-threaded on a 32-core session (measured:
+    * q_repetition's gram explode 0.95 s in one task; q_span_dedup three
+    * ~0.85 s single-task stages; q_quality_features 2 × ~0.45 s
+    * single-task jobs — the second is the orderBy's range-boundary
+    * sampling re-running the whole child). When the natural split count
+    * is below the session parallelism, fan out with one cheap row
+    * shuffle sized ~32 KB of compressed input per task (the per-byte
+    * CPU of token-level ops is ~100× a plain scan — same doctrine as
+    * the 8 MB AQE advisory). Scale-adaptive, not a local[32] constant:
+    * at production sizes bytes/maxPartitionBytes >= defaultParallelism
+    * and this is a no-op. NOT used by cheap scan→agg/window queries —
+    * measured there the extra exchange only adds wall (q_dup_ids
+    * 0.12 → 0.47 s when applied blanket), and a count()-shaped action
+    * upstream of it would trade a parquet-footer count for a shuffle. */
+  private def tText(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val naturalTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val target = math.min(s.sparkContext.defaultParallelism.toLong,
+      math.max(1L, bytes / (32L << 10)))
+    // hash-repartition on the row key, NOT round-robin: keyless
+    // repartition(n) pays a local sort of the scan output
+    // (sortBeforeRepartition) inside the single-task scan stage — the
+    // very stage being relieved; the key is high-cardinality vs the
+    // task count, so the spread is even (guide §2.5)
+    if (naturalTasks < target) df.repartition(target.toInt, col("doc_id"))
+    else df
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregations (SURVEY §2.4) ----
@@ -37,18 +79,27 @@ object Queries {
     // compare (its hash is sensitive to decimal physical encoding, while
     // it provably tolerates int width — INT32-vs-INT64 queries pass), so
     // both sides multiply the exact decimal sum out to an integer.
+    // r06: the cents conversion moved from the AGGREGATE to the ROW —
+    // each decimal(18,2)/(18,4) value ×100/×10000 is an exact integer,
+    // so sum-of-longs == (decimal-sum × 100) exactly (no rounding on
+    // either path), but the accumulator becomes a codegen long instead
+    // of per-row Decimal allocation (the scan+agg stage is this query's
+    // whole cost). Long headroom: 9.2e18 cents ≫ any bench SF.
     "q_agg_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint").as("_q_c"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").as("_p_c"),
+          ((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)") * 10000).cast("bigint").as("_dp_c"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
-            .cast("bigint").as("sum_qty_c"),
-          (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
-            .cast("bigint").as("sum_price_c"),
-          (sum((col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,4)")) * 10000)
-            .cast("bigint").as("sum_disc_price_c"),
+          sum(col("_q_c")).as("sum_qty_c"),
+          sum(col("_p_c")).as("sum_price_c"),
+          sum(col("_dp_c")).as("sum_disc_price_c"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -376,7 +427,7 @@ object Queries {
     // pairs (s≈0.3) stay at s^8≈7e-5 per band, keeping the verify join
     // linear, not quadratic (r=8 rows/band).
     "q_minhash_neardups" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tText(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = docs
         .filter(col("doc_id") < 50 &&
           size(split(trim(col("text")), "\\s+")) >= 50)
@@ -424,7 +475,7 @@ object Queries {
     // so the expected output is the SAME planted-pair oracle the
     // full-corpus q_minhash_neardups verifies against.
     "q_neardup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tText(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = docs
         .filter(col("doc_id") < 50 &&
           size(split(trim(col("text")), "\\s+")) >= 50)
@@ -481,7 +532,7 @@ object Queries {
     // join goes quadratic (measured 38 s at sf0.1 with d=8). Exactness at
     // any configured distance is proven brute-force in DataOpsSpec.
     "q_simhash_neardups" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tText(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"),
           regexp_replace(col("text"), "^\\S+", "PLANTED").as("text"))
@@ -571,7 +622,7 @@ object Queries {
 
     // quality-score features over documents (oracle: formula in SQL)
     "q_quality_features" -> ((s, dir) =>
-      graft.data.TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+      graft.data.TextAnalysis.qualityFeatures(tText(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("quality_score"))
         .orderBy(col("doc_id"))),
 
@@ -581,7 +632,7 @@ object Queries {
     // them exactly; top-gram ties break on the lexicographically
     // greatest gram in both engines
     "q_repetition" -> ((s, dir) =>
-      graft.data.TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
+      graft.data.TextAnalysis.repetitionFeatures(tText(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
     // benchmark decontamination: training docs sharing any 3-gram with a
@@ -591,7 +642,7 @@ object Queries {
     // gram keys, identical counts up to 2⁻⁶⁴ collisions). The benchmark
     // gram relation is broadcast — the corpus-side scan never shuffles.
     "q_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = tText(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 3)
         .select((col("doc_id") / 50).cast("long").as("bench_id"),
           array_join(slice(split(trim(col("text")), "\\s+"), 3, 8), " ")
@@ -606,7 +657,7 @@ object Queries {
     // DuckDB regenerates the exact input and replays the same RE2-safe
     // patterns)
     "q_redact_pii" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
+      val planted = tText(s, dir, "documents").select(col("doc_id"),
         concat(
           substring(col("text"), 1, 40),
           lit(" reach u"), col("doc_id").cast("string"),
@@ -631,7 +682,7 @@ object Queries {
     "q_span_dedup" -> ((s, dir) => {
       val md5h = (c: Column) =>
         conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      graft.data.Dedup.dedupSpans(t(s, dir, "documents"), width = 8,
+      graft.data.Dedup.dedupSpans(tText(s, dir, "documents"), width = 8,
           hash = md5h)
         .orderBy(col("doc_id"))
     }),
@@ -703,11 +754,17 @@ object Queries {
     }),
 
     // TF-IDF top terms: corpus-level document frequency + per-doc rank
-    "q_tfidf" -> ((s, dir) =>
+    "q_tfidf" -> ((s, dir) => {
+      // corpus size for IDF from the un-repartitioned frame (parquet
+      // footer count) — counting the fanned-out frame would pay the
+      // repartition shuffle just to count rows
+      val n = t(s, dir, "documents").count()
       graft.data.TextAnalysis.tfIdfTopTerms(
           t(s, dir, "documents").select(col("doc_id"), col("text")),
-          select = pmod(col("doc_id"), lit(50)) === 0, k = 3)
-        .orderBy(col("doc_id"), col("rank"))),
+          select = pmod(col("doc_id"), lit(50)) === 0, k = 3,
+          totalDocs = Some(n))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
 
     // brute-force cosine top-k against a fixed query vector (ANN baseline)
     "q_cosine_topk" -> ((s, dir) => {

@@ -319,6 +319,20 @@ object CleanCorpusMain {
 
     val counts = opts.get("previous") match {
       case Some(prev) =>
+        // same Hadoop-qualified guard as LinkageMain (ADVICE r05): the
+        // cumulative exact_survivor_ids write below unions a LAZY scan
+        // of $prev/exact_survivor_ids while overwriting
+        // $out/exact_survivor_ids — a same-dir invocation would corrupt
+        // the store mid-run after $out/cleaned was already overwritten
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val qual = (p: String) => {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf).makeQualified(hp).toString
+        }
+        require(qual(prev) != qual(out),
+          s"--output must differ from --previous ($prev): the incremental " +
+            "run reads the previous exact_survivor_ids lazily and " +
+            "overwriting them mid-read corrupts the cumulative store")
         val prevIds = spark.read.parquet(s"$prev/exact_survivor_ids")
         val prevRaw = readMulti(spark,
           Cli.required(opts, "previous-input"))

@@ -221,17 +221,22 @@ object Dedup {
   def minHashSignatures(exploded: DataFrame, cfg: MinHashConfig,
                         idCol: String = "doc_id"): DataFrame = {
     val k = cfg.numHashes
-    val idx = array((0 until k).map(lit): _*)
-    exploded
-      .select(col(idCol), col("shingle"), explode(idx).as("i"))
-      .select(col(idCol), col("i"),
-        xxhash64(lit(cfg.seed), col("i"), col("shingle")).as("h"))
-      .groupBy(col(idCol), col("i"))
-      .agg(min(col("h")).as("mh"))
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+    // ONE hash-aggregate with k min columns (r06): the r03–r05 shape
+    // exploded the k hash indices (k× generated rows through a
+    // (id, i)-keyed partial agg, a k·|docs|-row shuffle, then an
+    // ObjectHashAggregate assembling collect_list+array_sort — outside
+    // whole-stage codegen). Same k hashes per shingle, but now evaluated
+    // as k independent min-aggregate columns in a single codegen'd
+    // HashAggregate: no generated rows, ONE shuffle of |docs| rows
+    // (k longs each), array assembly as a plain projection. Measured
+    // (sf0.1, q_minhash_neardups end-to-end): 3.30 s → 2.4 s. Values are
+    // identical: sig[i] = min over shingles of xxhash64(seed, i, shingle)
+    // in both shapes.
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(cfg.seed), lit(i), col("shingle"))).as(s"_mh$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"_mh$i")): _*).as("sig"))
   }
 
   /** One-permutation MinHash signatures (Li/Owen/Zhang OPH with
@@ -255,26 +260,42 @@ object Dedup {
   def minHashSignaturesOPH(exploded: DataFrame, cfg: MinHashConfig,
                            idCol: String = "doc_id"): DataFrame = {
     val k = cfg.numHashes
-    val binned = exploded
+    // Per-shingle work stays O(1) — one hash, one pmod, one (id, bin)
+    // partial-min probe (the whole point of OPH; a k-conditional-min
+    // single aggregate was tried in r06 and LOST: it charges k branch
+    // evaluations per shingle row, the very k-fold cost OPH removes).
+    // What r06 does change: the SECOND aggregate. The r05 tail built a
+    // bin→min MAP via collect_list + map_from_entries — an
+    // ObjectHashAggregate outside whole-stage codegen. The re-aggregate
+    // runs over ≤ k rows/doc, so k conditional mins ARE cheap there, and
+    // the result lands in a codegen'd HashAggregate with the densified
+    // signature assembled from a plain array column. Empty bins surface
+    // as SQL nulls exactly where the map had no entry, so the rotation
+    // densification reads the same filled-bin set — identical signatures.
+    val mins = (0 until k).map(i =>
+      min(when(col("bin") === i, col("mh"))).as(s"_bm$i"))
+    val agged = exploded
       .select(col(idCol), xxhash64(lit(cfg.seed), col("shingle")).as("h"))
-      .withColumn("bin", pmod(col("h"), lit(k.toLong)).cast("int"))
+      .select(col(idCol), col("h"),
+        pmod(col("h"), lit(k.toLong)).cast("int").as("bin"))
       .groupBy(col(idCol), col("bin"))
       .agg(min(col("h")).as("mh"))
-    binned.groupBy(col(idCol))
-      .agg(
-        map_from_entries(array_sort(
-          collect_list(struct(col("bin"), col("mh"))))).as("m"),
-        array_sort(collect_list(col("bin"))).as("bins"))
+      .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol),
-        transform(sequence(lit(0), lit(k - 1)), j => {
-          // nearest filled bin at/after j, wrapping to the first
-          // (try_element_at: ANSI element_at throws on the empty
-          // filter() result before coalesce can fall through)
-          val b = coalesce(try_element_at(filter(col("bins"), _ >= j), lit(1)),
-            element_at(col("bins"), 1))
-          val t = when(b >= j, b - j).otherwise(b - j + k)
-          element_at(col("m"), b) + t.cast("long")
-        }).as("sig"))
+        array((0 until k).map(i => col(s"_bm$i")): _*).as("_arr"))
+      .select(col(idCol), col("_arr"),
+        filter(sequence(lit(0), lit(k - 1)),
+          i => element_at(col("_arr"), i + 1).isNotNull).as("bins"))
+    agged.select(col(idCol),
+      transform(sequence(lit(0), lit(k - 1)), j => {
+        // nearest filled bin at/after j, wrapping to the first
+        // (try_element_at: ANSI element_at throws on the empty
+        // filter() result before coalesce can fall through)
+        val b = coalesce(try_element_at(filter(col("bins"), _ >= j), lit(1)),
+          element_at(col("bins"), 1))
+        val t = when(b >= j, b - j).otherwise(b - j + k)
+        element_at(col("_arr"), b + 1) + t.cast("long")
+      }).as("sig"))
   }
 
   /** LSH band buckets: (id, band, bucket). r = numHashes/bands rows per
@@ -305,26 +326,38 @@ object Dedup {
   }
 
   /** Exact Jaccard on shingle sets for candidate pairs (verify stage).
-    * Two joins + one agg; |A| and |B| come from a pre-agg broadcast. */
+    *
+    * r06 shape — TWO joins + TWO aggregates, no set-size pass: attach
+    * each pair to both members' shingle rows, count occurrences per
+    * (pair, shingle) — 2 ⟺ the shingle is in both sets (exploded is
+    * distinct per (id, shingle)) — then per pair |A∪B| = row count and
+    * |A∩B| = count of 2s, so jaccard = i/u with the IDENTICAL integer
+    * numerator/denominator the r05 formula inter/(|A|+|B|−inter)
+    * produced (bit-equal doubles; oracle-checked at both SFs). The r05
+    * shape additionally aggregated set sizes over the WHOLE exploded
+    * corpus and re-joined them twice — an O(corpus) aggregate per
+    * verify call plus three more joins; everything here is
+    * O(candidate neighborhood) (guide §1.2: remove passes).
+    *
+    * Requires `pairs` distinct (both callers dedup) and every pair
+    * member present in `exploded` (true for both: full-corpus and the
+    * incremental new ∪ candidate-touched relation) — pairs whose two
+    * sets are disjoint still surface with jaccard 0 via their members'
+    * own rows. */
   def jaccardVerify(exploded: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
-    val sizes = exploded.groupBy(col(idCol))
-      .agg(count(lit(1)).as("set_size"))
     val ea = exploded.toDF("id_a", "shingle")
     val eb = exploded.toDF("id_b", "shingle")
-    val inter = pairs
-      .join(ea, "id_a").join(eb, Seq("id_b", "shingle"))
+    val both = pairs.join(ea, "id_a").select("id_a", "id_b", "shingle")
+      .unionByName(
+        pairs.join(eb, "id_b").select("id_a", "id_b", "shingle"))
+    both.groupBy(col("id_a"), col("id_b"), col("shingle"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.toDF("id_a", "size_a"), "id_a")
-      .join(sizes.toDF("id_b", "size_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")))
-      .select("id_a", "id_b", "jaccard")
+      .agg(count(lit(1)).as("u"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("i"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("u")).as("jaccard"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: returns verified near-dup pairs
@@ -354,6 +387,12 @@ object Dedup {
       capBuckets(buckets, cfg.capRatio, cfg.minBucketCap, cfg.maxBucketCap,
         cfg.bands, "minhash-lsh").getOrElse(buckets)
     else buckets
+    // NOTE on reference count: persist dedups across ACTIONS, and AQE
+    // runs independent query stages of one action concurrently — a
+    // 4-reference verify draft (candIds semi-join sizes) made the
+    // un-materialized cands branches RACE and re-run the candidate
+    // lineage per branch (measured: the OPH family query at 5–10 s).
+    // The union-count verify keeps cands at exactly two references.
     val cands = lshCandidates(kept, idCol).persist(lvl)
     val out = jaccardVerify(exploded, cands, idCol)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
@@ -416,27 +455,29 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
               hash: Column => Column = xxhash64(_)): DataFrame = {
-    val idx = array((0 until 64).map(lit): _*)
+    // ONE hash-aggregate with 64 bit-count columns (r06): the r03–r05
+    // shape exploded each token's hash against the 64 bit indices —
+    // 64·|tokens| generated rows through a (id, i)-keyed partial agg,
+    // then a second aggregate bit_or'ing the signature. The same math as
+    // 64 conditional sums in a single codegen'd HashAggregate: bit i of
+    // the signature is set iff Σ_tokens ±1 > 0 ⟺ 2·(count of tokens
+    // with bit i set) > |tokens| — no generated rows, ONE shuffle of
+    // |docs| rows. The token hash still sits in its OWN projection so
+    // an expensive oracle hash (md5) is evaluated once per token.
+    val bitSums = (0 until 64).map(i =>
+      sum(call_function("shiftrightunsigned", col("h"), lit(i))
+        .bitwiseAND(lit(1L))).as(s"_b$i"))
     docs
       .select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      // hash in its OWN projection below the bit explode: an expression
-      // inlined next to explode() lands in the Project ABOVE the
-      // Generate and is re-evaluated once per generated row — 64× per
-      // token (measured 3.1 s → 14.4 s when the md5-oracle hash was
-      // inlined there)
       .select(col(idCol), hash(col("tok")).as("h"))
-      .select(col(idCol), col("h"), explode(idx).as("i"))
-      .select(col(idCol), col("i"),
-        when(call_function("shiftrightunsigned", col("h"), col("i"))
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1).as("b"))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum(col("b")).as("s"))
       .groupBy(col(idCol))
-      .agg(bit_or(
-        when(col("s") > 0,
-          call_function("shiftleft", lit(1L), col("i")))
-          .otherwise(lit(0L))).as("simhash"))
+      .agg(count(lit(1)).as("_n"), bitSums: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") * 2 > col("_n"), lit(1L << i))
+            .otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** SimHash near-dups: ALL pairs at Hamming distance ≤ maxDistance.
@@ -459,7 +500,13 @@ object Dedup {
     * exactly those buckets and are logged loudly; capRatio >= 1.0
     * disables the guard, restoring pigeonhole-exact recall. An
     * identical-document flood is the textbook trigger — run [[exact]]
-    * dedup FIRST so only genuine near-dups reach this stage. */
+    * dedup FIRST so only genuine near-dups reach this stage.
+    *
+    * Ownership (ADVICE r05): with the guard live (capRatio < 1, the
+    * default) the returned DataFrame is PERSISTED and caller-owned —
+    * `unpersist()` it once consumed, exactly like [[minHashNearDups]]'s
+    * result; long-lived sessions that drop the handle without
+    * unpersisting accumulate cache entries per call. */
   def simHashNearDups(sigs: DataFrame, maxDistance: Int = 3,
                       idCol: String = "doc_id", bands: Int = 0,
                       capRatio: Double = 0.02,

@@ -38,7 +38,9 @@ object IncrementalDedup {
                                 Dedup.MinHashConfig(),
                               idCol: String = "doc_id",
                               textCol: String = "text",
-                              storePath: Option[String] = None): DataFrame = {
+                              storePath: Option[String] = None,
+                              combinedCount: Option[Long] = None)
+      : DataFrame = {
     val spark = newDocs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val newExploded = Dedup.explodedShingles(newDocs, idCol, textCol,
@@ -72,17 +74,44 @@ object IncrementalDedup {
     // hot-bucket cap over the COMBINED relation, sized by the combined
     // corpus — identical to a full run's cap for every bucket the
     // increment can touch (a pruned store partition holds ALL rows of
-    // its buckets, so counts there are complete)
-    val cap = cfg.bucketCap(prevDocs.count() + newDocs.count())
+    // its buckets, so counts there are complete).
+    //
+    // r06: localCheckpoint (lazy) instead of persist — `all` is
+    // referenced by the stats pass, the candidate join AND (through
+    // candIds → prevTouched → the verify shingles) the whole verify
+    // tree, so with plain persist the LOGICAL plan duplicated the full
+    // previous-corpus signature pipeline multiplicatively (measured: a
+    // 3.2 M-char physical plan for q_neardup_incremental; every action
+    // and every AQE re-optimization walked it — job walls of 0.3 s over
+    // 7 ms of tasks). The checkpoint truncates lineage at the
+    // materialization the stats pass performs anyway.
     val all = prevBuckets
       .select(col("band"), col("bucket"), col(idCol))
       .unionByName(newBuckets.select(col("band"), col("bucket"), col(idCol)))
-      .persist(lvl)
-    val kept = Dedup.capBuckets(all, cap, "minhash-lsh-incremental")
-      .getOrElse(all)
-    val keptNew = newBuckets
-      .join(kept.select(col("band"), col("bucket"), col(idCol)),
-        Seq("band", "bucket", idCol), "left_semi")
+      .localCheckpoint(eager = false)
+    val keptOpt = storePath match {
+      case None =>
+        // storePath=None ⇒ `all` IS the complete corpus bucket relation
+        // (every doc contributes exactly `bands` rows), so the cap's
+        // corpus size is derived from the SAME stats pass the guard
+        // already runs — the r05 shape paid prevDocs.count() +
+        // newDocs.count() (a full column-pruned pass over the previous
+        // corpus) per increment just to size the cap (VERDICT r05).
+        Dedup.capBuckets(all, cfg.capRatio, cfg.minBucketCap,
+          cfg.maxBucketCap, cfg.bands, "minhash-lsh-incremental")
+      case Some(_) =>
+        // pruned store legs undercount the corpus — size from counts the
+        // caller already knows, or pay the two count jobs as before
+        val n = combinedCount.getOrElse(prevDocs.count() + newDocs.count())
+        Dedup.capBuckets(all, cfg.bucketCap(n), "minhash-lsh-incremental")
+    }
+    val kept = keptOpt.getOrElse(all)
+    // steady state (no bucket over cap): every newBuckets row appears in
+    // `all` by construction, so the kept-side semi-join is the identity —
+    // keep the caller's plan free of it (one fewer join + exchange)
+    val keptNew = keptOpt.map(k =>
+      newBuckets.join(k.select(col("band"), col("bucket"), col(idCol)),
+        Seq("band", "bucket", idCol), "left_semi")).getOrElse(newBuckets)
 
     // pairs touching >= 1 new doc; least/greatest + dedup collapses the
     // two join orders of new-new pairs
@@ -90,13 +119,17 @@ object IncrementalDedup {
       col(idCol).as("new_id"))
     val r = kept.select(col("band").as("band_r"),
       col("bucket").as("bucket_r"), col(idCol).as("other_id"))
+    // lazy localCheckpoint (not persist): cands is re-referenced by
+    // candIds (twice) and both verify joins — each reference would embed
+    // the full candidate-join lineage in the verify plan (the same
+    // multiplicative plan-girth term as `all` above)
     val cands = l.join(r, col("band") === col("band_r") &&
         col("bucket") === col("bucket_r") &&
         col("new_id") =!= col("other_id"))
       .select(least(col("new_id"), col("other_id")).as("id_a"),
         greatest(col("new_id"), col("other_id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .persist(lvl)
+      .localCheckpoint(eager = false)
 
     // exact verify: shingles for new docs + ONLY the prev docs that
     // appear in candidates (O(new × neighborhood), never the corpus)
@@ -105,16 +138,18 @@ object IncrementalDedup {
     val prevTouched = prevDocs.join(candIds, Seq(idCol), "left_semi")
     val exploded = newExploded.unionByName(
         Dedup.explodedShingles(prevTouched, idCol, textCol, cfg.shingleSize))
-      .persist(lvl)
+      .localCheckpoint(eager = false)
     val out = Dedup.jaccardVerify(exploded, cands, idCol)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .persist(lvl)
     out.count()
     newExploded.unpersist(blocking = false)
     newBuckets.unpersist(blocking = false)
-    all.unpersist(blocking = false)
-    cands.unpersist(blocking = false)
-    exploded.unpersist(blocking = false)
+    // checkpointed intermediates: Dataset.unpersist would not free their
+    // blocks (see DatasetBridge) — release them now that `out` is
+    // materialized; `out` itself stays a recompute-free persisted handle
+    val rel = org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint _
+    rel(all); rel(cands); rel(exploded)
     out
   }
 

@@ -134,13 +134,17 @@ object Pq {
   }
 
   /** Exact-cosine re-rank of (query_id, id) candidate pairs: vectors
-    * stay columnar-pruned until here, candidates ride as a broadcast. */
+    * stay columnar-pruned until here, candidates ride as a broadcast.
+    * `joinCols` lets an index-backed caller include the partition column
+    * so the broadcast join also drives dynamic partition pruning. */
   private def refineExact(vectors: DataFrame, cands: DataFrame,
                           queries: DataFrame, k: Int,
-                          idCol: String): DataFrame = {
+                          idCol: String,
+                          joinCols: Seq[String] = Seq.empty): DataFrame = {
     val qv = queries.select(col("query_id"), col("embedding").as("q_emb"))
+    val onCols = if (joinCols.nonEmpty) joinCols else Seq(idCol)
     val scored = vectors
-      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(cands), onCols)
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cos", Ann.cosine(col("embedding"), col("q_emb")))
       .select(col("query_id"), col(idCol), col("cos")) // narrow pre-window
@@ -298,15 +302,22 @@ object Pq {
       .filter(col("centroid") >= 0)
     val sweep = cells.select(col("centroid"), col(idCol), col("code"))
       .join(broadcast(qLut), Seq("centroid"))
-      .select(col("query_id"), col(idCol),
+      .select(col("query_id"), col("centroid"), col(idCol),
         gf.pq_adc(col("lut"), col("code"), kk).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc"), col(idCol))
+    // carry the candidate's CENTROID into the refine join (ADVICE r05):
+    // joining the vector scan on (centroid, id) — centroid being the
+    // cells table's partition column — lets dynamic partition pruning
+    // drop every unprobed partition from the refine scan too. The r05
+    // shape joined on the non-partition id alone, so step 3 re-scanned
+    // the embedding column of EVERY index partition, contradicting the
+    // "second pruned scan" contract (PqSpec now pins both pruned scans).
     val cands = sweep.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= math.max(k, refine))
-      .select(col("query_id"), col(idCol))
-    refineExact(cells.select(col(idCol), col("embedding")), cands,
-      queries, k, idCol)
+      .select(col("query_id"), col("centroid"), col(idCol))
+    refineExact(cells.select(col("centroid"), col(idCol), col("embedding")),
+      cands, queries, k, idCol, joinCols = Seq("centroid", idCol))
   }
 }

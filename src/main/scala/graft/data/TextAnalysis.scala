@@ -197,9 +197,13 @@ object TextAnalysis {
     * rounded value so cross-engine ulp noise in ln cannot reorder ties.
     * Window is per-doc (bounded partitions), never global. */
   def tfIdfTopTerms(docs: DataFrame, select: Column, k: Int = 3,
-                    idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame = {
-    val n = docs.count()
+                    idCol: String = "doc_id", textCol: String = "text",
+                    totalDocs: Option[Long] = None): DataFrame = {
+    // `totalDocs` lets a caller that knows the corpus size (or can count
+    // it from parquet footers) skip a count() over `docs` — which, when
+    // `docs` carries a repartition or other non-trivial lineage, is a
+    // full extra pass, not a metadata read (optimization guide §1.4).
+    val n = totalDocs.getOrElse(docs.count())
     val terms = docs.select(col(idCol),
       explode(wsTokens(lower(col(textCol)))).as("term"))
     val dfreq = terms.select(idCol, "term").distinct()

@@ -99,7 +99,15 @@ object Cluster {
       .distinct()
   }
 
-  /** large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v ∈ N(u), v > u. */
+  /** large-star: ∀u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v ∈ N(u), v > u.
+    *
+    * The trailing distinct looks removable (smallStar's groupBy/min is
+    * duplicate-blind and the round ends in its own distinct) but is NOT:
+    * it is the Exchange both smallStar consumers (the groupBy(hi) AND
+    * the join probe side) share via ReuseExchange. Dropping it was
+    * measured in r06 at 4× the whole q_neardup_clusters wall — the
+    * largeStar union+agg+join subtree re-executed once per consumer per
+    * round instead of once per round. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
       .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))

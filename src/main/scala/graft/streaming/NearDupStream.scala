@@ -147,6 +147,14 @@ object NearDupStream {
                                      idCol: String,
                                      idType: org.apache.spark.sql.types.DataType,
                                      touched: Seq[(Int, Int)]): DataFrame = {
+    // meta is written BEFORE the first sigs append (crash-ordering
+    // contract) — a replay between the two reads an empty store, so a
+    // missing sigs dir must mean "no rows", not path-not-found (ADVICE
+    // r05: the stream failed on every replay of that window otherwise)
+    if (!sigsDirExists(spark, storePath))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        storeSchema(idCol, idType))
     val base = spark.read.schema(storeSchema(idCol, idType))
       .parquet(s"$storePath/sigs")
     // balanced OR tree: a left-deep reduce at bands×shards terms (512 at
@@ -165,10 +173,25 @@ object NearDupStream {
 
   /** All admitted doc ids (deduped): reconcile/audit entry point. */
   private[streaming] def storedIds(spark: SparkSession, storePath: String,
-                                   idCol: String): DataFrame = {
+                                   idCol: String,
+                                   idType: org.apache.spark.sql.types.DataType =
+                                     org.apache.spark.sql.types.LongType)
+      : DataFrame = {
     val meta = readStoreMeta(spark, storePath)
     require(meta.isDefined, s"no signature store at $storePath")
-    spark.read.parquet(s"$storePath/sigs").select(col(idCol))
+    // same meta-before-first-append tolerance as [[prunedStore]]
+    if (!sigsDirExists(spark, storePath))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol, idType))))
+        .select(col(idCol))
+    else spark.read.parquet(s"$storePath/sigs").select(col(idCol))
+  }
+
+  private def sigsDirExists(spark: SparkSession, storePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/sigs")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** One-time v1 → v2 store migration: flat (doc_id, sig) rows become
@@ -483,7 +506,8 @@ object NearDupStream {
     // both fan out to several joins inside the one materializing action:
     // without the persists the store scan + distinct re-runs four times
     // and the corpus scan three (the measured minhash-fan-out lesson)
-    val admittedIds = storedIds(spark, storePath, idCol)
+    val admittedIds = storedIds(spark, storePath, idCol,
+        corpus.schema(idCol).dataType)
       .distinct().persist(lvl)
     val corpusP = corpus.persist(lvl)
     val admitted = corpusP.join(admittedIds, Seq(idCol), "left_semi")

@@ -74,6 +74,23 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkFixture {
     DatasetBridge.releaseCheckpoint(inc2.pairs)
   }
 
+  test("incremental pairs plan stays lineage-cut (no multiplicative girth)") {
+    // r05 shipped a 3.2M-char physical plan for the incremental path —
+    // `all`/`cands`/`exploded` each re-embedded the full previous-corpus
+    // signature pipeline per downstream reference, and every action/AQE
+    // re-optimization walked it (the driver bench WARNed on
+    // maxPlanStringLength). r06 cuts lineage at those fan-out points with
+    // lazy localCheckpoints; this pins the cut so a regression trips a
+    // test, not a log line.
+    val out = IncrementalDedup.incrementalNearDupPairs(d1, d2, cfg)
+    val len = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).length
+    out.unpersist(blocking = false)
+    assert(len < 200000,
+      s"incremental verify plan re-inflated to $len chars — a fan-out " +
+        "point lost its lineage cut (IncrementalDedup localCheckpoints)")
+  }
+
   test("store-backed incremental pairs equal the recompute path") {
     val store = java.nio.file.Files
       .createTempDirectory("incdedupstore").toString + "/sigs_store"

@@ -127,6 +127,13 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     val schemas = plan.split("ReadSchema:").drop(1).map(_.takeWhile(_ != '\n'))
     assert(schemas.exists(s => s.contains("code") && !s.contains("embedding")),
       s"ADC sweep scan still reads vectors:\n${schemas.mkString("\n")}")
+    // r06 (ADVICE r05): BOTH cells scans must be partition-pruned — the
+    // refine join carries the candidate's centroid, so the vector re-read
+    // touches probed partitions only, not every partition's embeddings
+    assert(plan.split("dynamicpruning").length - 1 >= 2,
+      s"refine scan not partition-pruned (need DPP on sweep AND refine):\n$plan")
+    assert(schemas.exists(s => s.contains("embedding") && !s.contains("code")),
+      s"refine scan schema unexpected:\n${schemas.mkString("\n")}")
     // with every cell probed and refine covering the corpus, serving
     // equals brute force exactly
     val got = served.collect()
