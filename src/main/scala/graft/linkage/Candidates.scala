@@ -24,7 +24,14 @@ object Candidates {
   case class Config(
       ratioMax: Double = 0.02,   // p-sig "filter" ratio
       minBlockCap: Long = 50,    // floor so tiny corpora keep their blocks
-      saltThreshold: Long = 4096,// target max rows per join bucket
+      /** Target max rows per join bucket. r06: 4096 → 256 — join WORK
+        * per bucket is quadratic in its rows, so a 4096-row bucket is an
+        * ~8M-comparison single task (measured: 1.26 s straggler tasks vs
+        * 0.37 s median in the pair-join stage; the whole candidates
+        * stage 1.9 s → 1.2 s at 256 with identical pairs). 256 rows ≈
+        * 32k comparisons per bucket — fine-grained at any scale; the
+        * `salts` ceiling bounds the replication cost for mega-blocks. */
+      saltThreshold: Long = 256,
       salts: Int = 16)           // ceiling on per-block salt count
 
   /** Pairs (id_a < id_b) from all passes over the records.

@@ -76,10 +76,13 @@ object Cluster {
       iter += 1
     }
     require(converged, s"CC did not converge in ${opts.maxIter} rounds")
-    // fixpoint edges are (node -> component-min root); roots map to selves
+    // fixpoint edges are (node -> component-min root); roots map to
+    // selves. At a VERIFIED fixpoint no lo can also appear as a hi:
+    // (a→r) and (r→r') together are not stable under largeStar (N(r)
+    // would re-point a at r'), so the r05 anti-join that guarded the
+    // roots union provably dropped nothing — one join fewer (r06).
     val nodeToRoot = cur.select(col("hi").as("id"), col("lo").as("cluster_id"))
     val roots = cur.select(col("lo").as("id")).distinct()
-      .join(nodeToRoot.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cluster_id", col("id"))
     val labels = nodeToRoot.unionByName(roots)
       .persist(StorageLevel.MEMORY_AND_DISK)
