@@ -376,31 +376,43 @@ object Dedup {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Interior fan-out points are LAZY localCheckpoints, not persists
+    // (r06, same discipline as IncrementalDedup): each downstream
+    // reference of a persisted relation re-embeds its full logical
+    // lineage, so the verify/CC plans over this pipeline carried
+    // ~180k-char trees that Catalyst + AQE re-walked on every one of
+    // ~35 jobs (event logs: ~40% of the query wall was BETWEEN jobs).
+    // The checkpoint truncates the plan at the materialization the
+    // stats pass performs anyway; blocks are released below once the
+    // result is materialized. The returned `out` stays a PERSISTED
+    // handle (callers unpersist it; a checkpointed result would dodge
+    // both Dataset.unpersist and the bench's clearCache and leak).
     val exploded = explodedShingles(docs, idCol, textCol, cfg.shingleSize)
-      .persist(lvl)
+      .localCheckpoint(eager = false)
     val rawBuckets = lshBuckets(sigs(exploded, cfg, idCol), cfg, idCol)
-    // persist only when the cap is live: capBuckets consumes the bucket
-    // relation twice (stats job + candidate join) and an unpersisted
+    // checkpoint only when the cap is live: capBuckets consumes the
+    // bucket relation twice (stats job + candidate join) and an uncut
     // second pass would recompute the whole signature aggregation
-    val buckets = if (cfg.capOn) rawBuckets.persist(lvl) else rawBuckets
+    val buckets =
+      if (cfg.capOn) rawBuckets.localCheckpoint(eager = false)
+      else rawBuckets
     val kept = if (cfg.capOn)
       capBuckets(buckets, cfg.capRatio, cfg.minBucketCap, cfg.maxBucketCap,
         cfg.bands, "minhash-lsh").getOrElse(buckets)
     else buckets
-    // NOTE on reference count: persist dedups across ACTIONS, and AQE
-    // runs independent query stages of one action concurrently — a
-    // 4-reference verify draft (candIds semi-join sizes) made the
-    // un-materialized cands branches RACE and re-run the candidate
-    // lineage per branch (measured: the OPH family query at 5–10 s).
-    // The union-count verify keeps cands at exactly two references.
-    val cands = lshCandidates(kept, idCol).persist(lvl)
+    // NOTE on reference count: block-level materialization dedups
+    // across ACTIONS; AQE runs independent query stages of one action
+    // concurrently — a 4-reference verify draft (candIds semi-join
+    // sizes) made the un-materialized cands branches RACE and re-run
+    // the candidate lineage per branch (measured: the OPH family query
+    // at 5–10 s). The union-count verify keeps cands at two references.
+    val cands = lshCandidates(kept, idCol).localCheckpoint(eager = false)
     val out = jaccardVerify(exploded, cands, idCol)
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .persist(lvl)
-    out.count() // materialize via the cached fan-out points
-    exploded.unpersist(blocking = false)
-    if (cfg.capOn) buckets.unpersist(blocking = false)
-    cands.unpersist(blocking = false)
+    out.count() // materialize via the checkpointed fan-out points
+    val rel = org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint _
+    rel(exploded); if (cfg.capOn) rel(buckets); rel(cands)
     out
   }
 
@@ -559,15 +571,23 @@ object Dedup {
     // the same stats job (|docs| = rows/nBands — every doc has a
     // simhash).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sigRel = sigs.select(col(idCol), col("simhash")).persist(lvl)
+    // lazy localCheckpoint, not persist (r06): the banded join's two
+    // sides and the stats pass each re-embedded the full signature
+    // aggregation in their logical plans — the checkpoint truncates the
+    // lineage at the materialization the stats pass performs anyway
+    // (same planning-girth lesson as minHashNearDups; the simhash plan
+    // dump shrank 70k → ~8k chars)
+    val sigRel = sigs.select(col(idCol), col("simhash"))
+      .localCheckpoint(eager = false)
     val rawBanded = bandedOf(sigRel)
     val kept = capBuckets(rawBanded, capRatio, minBucketCap, maxBucketCap,
       nBands, "simhash").getOrElse(rawBanded)
-    // materialize through the cached signature relation, then release
-    // it; the returned (persisted) frame is the caller-owned handle
+    // materialize through the checkpointed signature relation, then
+    // release it; the returned (persisted) frame is the caller-owned
+    // handle (a checkpointed result would dodge Dataset.unpersist)
     val p = pairsOver(kept).persist(lvl)
     p.count()
-    sigRel.unpersist(blocking = false)
+    org.apache.spark.sql.graftbridge.DatasetBridge.releaseCheckpoint(sigRel)
     p
   }
 
