@@ -130,9 +130,41 @@ object Scoring {
       .join(a, col("id_a") === col("a_conv_id"))
       .join(b, col("id_b") === col("b_conv_id"))
 
-    // stage 1: address score + strict prefilter (matching.py:540)
-    val withAddr = joined
-      .withColumn("addr_score", addressDistance(col("a_addr"), col("b_addr")))
+    // Straggler smoothing for the scoring stage (r06, guide §2.6): the
+    // comparator tree is ~100x CPU/byte and runs in whatever stage the
+    // b-side join output lands in. When that stage has about one task
+    // per core (this sandbox's sessions: shuffle.partitions ≈ cores),
+    // the stage wall is the SLOWEST core's time — event logs show this
+    // box runs identical tasks at 0.7–1.0x relative speed (per-task rows
+    // ±2% but CPU time 9.9–14.5 s, slowest partition differing between
+    // reps: speed variance, not data skew). Hash-repartition on the
+    // (uniform by construction) pair identity into ≥4 waves so fast
+    // cores absorb more tasks. GATED on the regime: deployments whose
+    // scoring stage already has ≥4 tasks/core — production
+    // shuffle.partitions, or a bucketed records table with thousands of
+    // buckets — skip the exchange entirely, keeping the bucketed path's
+    // zero-records-shuffle plan (BucketedJoinSpec).
+    val spark = records.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val pre = if (shufflePartitions < 4 * cores)
+      joined.repartition(4 * cores, col("id_a"), col("id_b"))
+    else joined
+    // stage 1: address score + strict prefilter (matching.py:540).
+    // addr_score is wrapped in gf.opaque (r06) — without it the
+    // optimizer pushes the prefilter below this projection, substituting
+    // the FULL composite comparator tree into the filter (and sinking it
+    // below the repartition into the join stage), AND CollapseProject
+    // inlines the tree again into total_score: addressDistance evaluated
+    // twice per pair (event logs on the 218k-pair scaling kernel:
+    // ~108 CPU-s of comparator work in the filter copy + ~90 CPU-s in
+    // the projection's own). Opaque pins ONE evaluation here; the filter
+    // and total_score read the column. Measured together with the
+    // smoothing: kernel 16-thread throughput 14.2k → 26k+ pairs/s.
+    val withAddr = pre
+      .withColumn("addr_score",
+        gf.opaque(addressDistance(col("a_addr"), col("b_addr"))))
       .filter(col("addr_score") > AddrThreshold)
 
     // stage 2: remaining comparators + weighted sum (matching.py:542–548)

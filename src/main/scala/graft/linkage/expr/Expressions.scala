@@ -28,6 +28,34 @@ case class NormalizeAscii(child: Expression)
     copy(child = newChild)
 }
 
+/** Identity wrapper marked non-deterministic: an optimizer BARRIER with
+  * zero runtime cost (eval and codegen delegate straight to the child).
+  * Wrapping a projected column in this stops (a) PushDownPredicates from
+  * pushing a filter on the column below the projection — which would
+  * re-evaluate the full expression tree inside the filter, in whatever
+  * stage the filter sinks to — and (b) CollapseProject from inlining the
+  * tree into every downstream use. Use it for EXPENSIVE columns that a
+  * filter and later projections both consume (Scoring.scorePairs'
+  * addr_score: the pushed-down prefilter re-ran the ~20-JW composite
+  * comparator in the join stage — measured as HALF the scoring wall —
+  * on top of the projection's own evaluation). The wrapped value is
+  * bit-identical to the child's; only optimizer placement changes. */
+case class Opaque(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "opaque"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Opaque =
+    copy(child = newChild)
+}
+
 /** textdistance-parity Jaro-Winkler — reference matching.py:480–491 &
   * 110–247 (see [[Sim.jaroWinkler]] for the pinned semantics). */
 case class JaroWinkler(left: Expression, right: Expression)

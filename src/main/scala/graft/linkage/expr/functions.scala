@@ -9,6 +9,7 @@ object functions {
   import ColumnBridge.{column => col_, expression => expr_}
 
   def normalize_ascii(c: Column): Column = col_(NormalizeAscii(expr_(c)))
+  def opaque(c: Column): Column = col_(Opaque(expr_(c)))
   def jaro_winkler(a: Column, b: Column): Column =
     col_(JaroWinkler(expr_(a), expr_(b)))
   def hamming_sim(a: Column, b: Column): Column =

@@ -67,4 +67,31 @@ class AddressDistanceSpec extends AnyFunSuite with SparkFixture {
       score(garedn205, garden205)) < 1e-12)
     assert(math.abs(score(apt5F, apt5J) - score(apt5J, apt5F)) < 1e-12)
   }
+
+  // r06: Scoring wraps addr_score in gf.opaque (an optimizer barrier
+  // marked non-deterministic, evaluation delegated to the child) — the
+  // wrapped value must stay bit-identical through both the codegen
+  // projection path and interpreted eval.
+  test("opaque barrier is a bit-identical passthrough") {
+    import spark.implicits._
+    import graft.linkage.expr.{functions => gf}
+    val df = Seq(("HELLO", "HELLP", 1.5), ("", "", -0.25),
+      ("A", "ZZZZ", 0.0)).toDF("s1", "s2", "d")
+    val rows = df.select(
+      gf.jaro_winkler($"s1", $"s2").as("plain"),
+      gf.opaque(gf.jaro_winkler($"s1", $"s2")).as("wrapped"),
+      ($"d" * 3.0).as("dplain"),
+      gf.opaque($"d" * 3.0).as("dwrapped")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }
+    // interpreted path (no codegen): evaluate via an RDD-barrier frame
+    val noCg = spark.range(1).selectExpr("'AB' as s1", "'AC' as s2")
+    val ev = noCg.select(gf.opaque(gf.jaro_winkler($"s1", $"s2")).as("v"))
+      .head().getDouble(0)
+    assert(ev == graft.linkage.expr.Sim.jaroWinkler("AB", "AC"))
+  }
 }

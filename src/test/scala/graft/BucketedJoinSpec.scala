@@ -81,9 +81,16 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
       val plan = scored.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       // two attribute joins (a-side, b-side) — each may exchange only the
-      // pairs relation, never the bucketed records scans
+      // pairs relation, never the bucketed records scans; +1 for the
+      // scoring-stage smoothing repartition of the JOINED pair rows
+      // (r06, fires only in this low-shuffle-partition test regime —
+      // production sessions with shuffle.partitions >= 4*cores skip it
+      // and keep the two-exchange plan)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-      assert(exchanges <= 2, s"records side shuffled:\n$plan")
+      assert(exchanges <= 3, s"records side shuffled:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(a_conv_id") &&
+        !plan.contains("Exchange hashpartitioning(b_conv_id"),
+        s"bucketed records scan shuffled:\n$plan")
       assert("Bucketed: true".r.findAllIn(plan).length >= 2,
         s"expected two bucketed scans:\n$plan")
       pairs.unpersist()

@@ -42,6 +42,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       .find(l => l.contains("jaro_winkler(a_family_name"))
     assert(scoringLine.exists(_.contains("*(")),
       s"scoring projection not codegen'd:\n${scoringLine.getOrElse(plan)}")
+    // r06 opaque barrier: the addr prefilter must READ the projected
+    // addr_score column, never re-evaluate the comparator tree — a
+    // pushed-down filter would carry jaro_winkler calls in its condition
+    // (measured: the filter copy of addressDistance doubled the scoring
+    // CPU and sank into the join stage)
+    val filterLines = plan.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("0.95")).toSeq
+    assert(filterLines.nonEmpty, s"no addr prefilter in plan:\n$plan")
+    assert(filterLines.forall(!_.contains("jaro_winkler")),
+      s"addr prefilter re-evaluates the comparator tree:\n" +
+        filterLines.mkString("\n"))
   }
 
   test("broadcast hint honored for small query side (ANN brute force)") {
