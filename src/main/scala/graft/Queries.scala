@@ -50,8 +50,14 @@ object Queries {
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val naturalTasks = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
-    val target = math.min(s.sparkContext.defaultParallelism.toLong,
-      math.max(1L, bytes / (32L << 10)))
+    // per-task input sizing and the parallelism cap are session-tunable
+    // (runtime conf, not a rebuild) so fan-out variants can be A/B'd
+    // interleaved in ONE session; defaults are the measured best
+    val splitBytes = s.conf.get("graft.text.splitBytes", "32768").toLong
+    val capWaves = s.conf.get("graft.text.capWaves", "1").toInt
+    val target = math.min(
+      capWaves.toLong * s.sparkContext.defaultParallelism,
+      math.max(1L, bytes / splitBytes))
     // hash-repartition on the row key, NOT round-robin: keyless
     // repartition(n) pays a local sort of the scan output
     // (sortBeforeRepartition) inside the single-task scan stage — the
