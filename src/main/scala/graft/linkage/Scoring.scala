@@ -29,8 +29,22 @@ object Scoring {
   private def jw(a: Column, b: Column): Column = gf.jaro_winkler(a, b)
 
   /** matching.py:64–249, structurally 1:1. `a`/`b` are addr structs
-    * (number, street, suffix, prefix, value, full). */
-  def addressDistance(a: Column, b: Column): Column = {
+    * (number, street, suffix, prefix, value, full).
+    *
+    * `streetJw`: optional pre-computed jaro_winkler(a.street, b.street).
+    * The tree references that comparison THREE times (the `perfect`
+    * branch's condition AND value, plus `ignoreSuffix`), and CaseWhen
+    * branch values are excluded from Spark's subexpression elimination,
+    * so inline it is evaluated up to 3× per pair — on this corpus the
+    * street fields average ~370 chars and jw is O(len²), making those
+    * re-evaluations ~30% of the whole scoring CPU (ScoreCostProbe:
+    * full tree ~365 µs CPU/pair, one long-string jw ~55–60 µs).
+    * Callers that project pairs (scorePairs) hoist the comparison into
+    * its own opaque column and pass it here; the default None keeps
+    * this function a self-contained 1:1 port (exemplar specs). Values
+    * are identical either way — it is the same jw on the same fields. */
+  def addressDistance(a: Column, b: Column,
+                      streetJw: Option[Column] = None): Column = {
     val a1 = a.getField("full")
     val a2 = b.getField("full")
     val n1 = a.getField("number"); val n2 = b.getField("number")
@@ -51,17 +65,18 @@ object Scoring {
         .otherwise(0.0)
 
     // street-name block (matching.py:105–175)
+    val jw12 = streetJw.getOrElse(jw(s1, s2))
     val bothStreet = s1 =!= "" && s2 =!= ""
     val perfect = when(x1 =!= "" && x2 =!= "",
         // textdistance short-circuit: score only adds suffix part when
         // street part is nonzero (matching.py:109–115 `if max_score_str`)
-        when(jw(s1, s2) * 0.8 =!= 0.0, jw(s1, s2) * 0.8 + jw(x1, x2) * 0.2)
+        when(jw12 * 0.8 =!= 0.0, jw12 * 0.8 + jw(x1, x2) * 0.2)
           .otherwise(0.0))
       .otherwise(0.0)
     val drop1 = when(x1 =!= "", jw(concat_ws(" ", s1, x1), s2)).otherwise(0.0)
     val drop2 = when(x2 =!= "", jw(concat_ws(" ", s2, x2), s1)).otherwise(0.0)
     val adjustment = when(x1 === "" && x2 === "", 1.0).otherwise(0.7)
-    val ignoreSuffix = jw(s1, s2) * adjustment
+    val ignoreSuffix = jw12 * adjustment
     val streetBoth = greatest(perfect, drop1, drop2, ignoreSuffix)
 
     // one/both streets missing: test street against other's suffix
@@ -162,10 +177,19 @@ object Scoring {
     // the projection's own). Opaque pins ONE evaluation here; the filter
     // and total_score read the column. Measured together with the
     // smoothing: kernel 16-thread throughput 14.2k → 26k+ pairs/s.
+    // The street comparison is hoisted into its own opaque column so
+    // the comparator tree's three references read ONE evaluation (see
+    // addressDistance's streetJw doc); opaque on both columns keeps
+    // CollapseProject from re-inlining either.
     val withAddr = pre
+      .withColumn("_street_jw",
+        gf.opaque(jw(col("a_addr").getField("street"),
+          col("b_addr").getField("street"))))
       .withColumn("addr_score",
-        gf.opaque(addressDistance(col("a_addr"), col("b_addr"))))
+        gf.opaque(addressDistance(col("a_addr"), col("b_addr"),
+          streetJw = Some(col("_street_jw")))))
       .filter(col("addr_score") > AddrThreshold)
+      .drop("_street_jw")
 
     // stage 2: remaining comparators + weighted sum (matching.py:542–548)
     withAddr

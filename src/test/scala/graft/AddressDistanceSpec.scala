@@ -68,6 +68,40 @@ class AddressDistanceSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(score(apt5F, apt5J) - score(apt5J, apt5F)) < 1e-12)
   }
 
+  // r06: scorePairs hoists the street jaro_winkler into its own opaque
+  // column (the tree references it 3x and CaseWhen branches are
+  // CSE-excluded) — the hoisted path must be BIT-identical to the
+  // self-contained default tree on every pair of a real corpus.
+  test("hoisted street-jw scorePairs ≡ default addressDistance") {
+    import org.apache.spark.sql.functions._
+    import graft.linkage.{Candidates, Blocking, Fold, SynthTranscripts}
+    val records = Fold.fold(SynthTranscripts
+      .transcripts(spark, SynthTranscripts.Config(nConvs = 400)).toDF)
+    val pairs = Candidates.candidates(records, Blocking.defaultPasses)
+    val viaScorePairs = Scoring.scorePairs(records, pairs)
+      .select(col("id_a"), col("id_b"), col("addr_score"), col("total_score"))
+    val attrs = records.select(col("conv_id"), col("family_name"),
+      col("phone_number"), col("addr"))
+    val a = attrs.toDF(attrs.columns.map("a_" + _): _*)
+    val b = attrs.toDF(attrs.columns.map("b_" + _): _*)
+    val manual = pairs
+      .join(a, col("id_a") === col("a_conv_id"))
+      .join(b, col("id_b") === col("b_conv_id"))
+      .withColumn("addr_score",
+        Scoring.addressDistance(col("a_addr"), col("b_addr"))) // default
+      .filter(col("addr_score") > Scoring.AddrThreshold)
+      .withColumn("total_score",
+        graft.linkage.expr.functions.jaro_winkler(
+          col("a_family_name"), col("b_family_name")) * Scoring.FnWeight +
+        graft.linkage.expr.functions.jaro_winkler(
+          col("a_phone_number"), col("b_phone_number")) * Scoring.PhoneWeight +
+        col("addr_score") * Scoring.AddrWeight)
+      .select(col("id_a"), col("id_b"), col("addr_score"), col("total_score"))
+    assert(viaScorePairs.count() > 0)
+    assert(viaScorePairs.exceptAll(manual).isEmpty &&
+      manual.exceptAll(viaScorePairs).isEmpty)
+  }
+
   // r06: Scoring wraps addr_score in gf.opaque (an optimizer barrier
   // marked non-deterministic, evaluation delegated to the child) — the
   // wrapped value must stay bit-identical through both the codegen
